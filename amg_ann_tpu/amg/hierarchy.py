@@ -1,0 +1,225 @@
+"""AMG hierarchy setup: strength → PMIS → interpolation → Galerkin RAP.
+
+This is the native replacement for everything the reference obtains from
+`PreconditionBoomerAMG::initialize` (reference: common/amg_solver.h:47-51,
+timed there as t_amg_setup) plus the per-level statistics its parser
+scrapes out of hypre's text dump (reference: common/parser.h:181-266 —
+rows/nnz/sparsity per level, grid/operator/memory complexity).
+
+Setup runs on host (data-dependent shapes); the returned hierarchy carries
+static-shape ELL device pytrees consumed by the jitted solve phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..sparse import csr as csr_mod
+from ..sparse import ell as ell_mod
+from ..sparse.csr import CSR
+from ..sparse.spgemm import spgemm
+from .coarsen import aggressive_pass, pmis
+from .interp import direct_interpolation
+from .strength import classical_strength
+
+
+# ---------------------------------------------------------------------------
+# Parameters — field-for-field analog of BoomerAMGData =
+# PreconditionBoomerAMG::AdditionalData (reference: testcase2 main.cpp:447-453)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class AMGParams:
+    symmetric_operator: bool = True
+    strong_threshold: float = 0.25
+    max_row_sum: float = 0.9
+    aggressive_coarsening_num_levels: int = 0
+    output_details: bool = False
+    # native knobs (no hypre equivalent exposed by the reference)
+    max_levels: int = 25
+    max_coarse_size: int = 64
+    trunc_factor: float = 0.0
+    p_max_elements: int = 4
+    smoother: str = "l1jacobi"  # "jacobi" | "l1jacobi" | "chebyshev"
+    n_pre_smooth: int = 1
+    n_post_smooth: int = 1
+    cheb_degree: int = 2
+    seed: int = 0
+    dtype: Optional[np.dtype] = None
+
+    _SMOOTHERS = ("jacobi", "l1jacobi", "chebyshev")
+
+    def __post_init__(self):
+        if self.smoother not in self._SMOOTHERS:
+            raise ValueError(
+                f"unknown smoother {self.smoother!r}; one of {self._SMOOTHERS}"
+            )
+        if not (0.0 <= self.strong_threshold <= 1.0):
+            raise ValueError(
+                f"strong_threshold must be in [0, 1], got {self.strong_threshold}"
+            )
+
+
+@struct.dataclass
+class DeviceLevel:
+    """One level of the device hierarchy (static-shape pytree)."""
+
+    a: ell_mod.ELL
+    p: Optional[ell_mod.ELL]  # None on the coarsest level
+    r: Optional[ell_mod.ELL]
+    inv_diag: jax.Array      # 1/diag(A)
+    inv_l1: jax.Array        # 1/Σ_j|a_ij|
+    lam_max: jax.Array       # Chebyshev upper bound for D⁻¹A (scalar)
+
+
+@struct.dataclass
+class DeviceHierarchy:
+    levels: tuple            # tuple[DeviceLevel]
+    coarse_inv: jax.Array    # dense inverse of the coarsest operator
+    params: AMGParams = struct.field(pytree_node=False)
+
+
+@dataclasses.dataclass
+class HierarchyStats:
+    """What hypre's 'output_details' dump reports, as first-class values."""
+
+    n_levels: int
+    rows: list            # per-level n
+    nnz: list             # per-level nnz(A_l)
+    sparsity: list        # per-level nnz/n (avg entries per row)
+    grid_complexity: float      # Σ n_l / n_0
+    operator_complexity: float  # Σ nnz(A_l) / nnz(A_0)
+    memory_complexity: float    # (Σ nnz(A_l) + Σ nnz(P_l)) / nnz(A_0)
+    t_setup: float = 0.0        # seconds, wall
+
+    def as_csv_fields(self):
+        """The 6 quoted fields of the reference CSV schema
+        (nrows, nze, sparsity, grid, operator, memory)."""
+        q = lambda v: '"' + ",".join(str(x) for x in v) + '"'
+        return [
+            q(self.rows), q(self.nnz),
+            q([f"{s:.3f}" for s in self.sparsity]),
+            f"{self.grid_complexity:.6f}",
+            f"{self.operator_complexity:.6f}",
+            f"{self.memory_complexity:.6f}",
+        ]
+
+
+@dataclasses.dataclass
+class Hierarchy:
+    """Host-side hierarchy + device pytree + stats."""
+
+    a_mats: list           # list[CSR] per level
+    p_mats: list           # list[CSR] between levels (len = n_levels-1)
+    device: DeviceHierarchy
+    stats: HierarchyStats
+    params: AMGParams
+
+
+def _estimate_lam_max(a: CSR, inv_diag: np.ndarray, iters: int = 12,
+                      seed: int = 7) -> float:
+    """Power iteration bound on λ_max(D⁻¹A) for Chebyshev/damped-Jacobi."""
+    rng = np.random.default_rng(seed)
+    x = rng.random(a.nrows) - 0.5
+    x /= np.linalg.norm(x) + 1e-300
+    lam = 1.0
+    for _ in range(iters):
+        y = inv_diag * a.matvec(x)
+        lam = float(np.linalg.norm(y))
+        if lam == 0.0:
+            return 1.0
+        x = y / lam
+    return 1.1 * lam  # safety margin
+
+
+def setup(a: CSR, params: AMGParams | None = None, **kw) -> Hierarchy:
+    """Build the full AMG hierarchy for matrix `a`."""
+    if params is None:
+        params = AMGParams(**kw)
+    t0 = time.perf_counter()
+    dtype = params.dtype or a.data.dtype
+
+    a_mats = [a.astype(dtype)]
+    p_mats = []
+    level = 0
+    while (a_mats[-1].nrows > params.max_coarse_size
+           and level < params.max_levels - 1):
+        a_l = a_mats[-1]
+        s = classical_strength(a_l, params.strong_threshold,
+                               params.max_row_sum)
+        cf = pmis(s, seed=params.seed + level)
+        if level < params.aggressive_coarsening_num_levels:
+            cf = aggressive_pass(s, cf, seed=params.seed + level)
+        nc = int(cf.sum())
+        if nc == 0 or nc == a_l.nrows:
+            break  # coarsening stalled
+        p = direct_interpolation(a_l, s, cf,
+                                 trunc_factor=params.trunc_factor,
+                                 max_per_row=params.p_max_elements)
+        r = p.transpose()
+        ap = spgemm(a_l, p)
+        a_c = spgemm(r, ap)
+        p_mats.append(p)
+        a_mats.append(a_c)
+        level += 1
+
+    stats = _make_stats(a_mats, p_mats)
+    device = _to_device(a_mats, p_mats, params, dtype)
+    stats.t_setup = time.perf_counter() - t0
+    return Hierarchy(a_mats, p_mats, device, stats, params)
+
+
+def _make_stats(a_mats, p_mats) -> HierarchyStats:
+    rows = [m.nrows for m in a_mats]
+    nnz = [m.nnz for m in a_mats]
+    sparsity = [m.sparsity for m in a_mats]
+    return HierarchyStats(
+        n_levels=len(a_mats),
+        rows=rows,
+        nnz=nnz,
+        sparsity=sparsity,
+        grid_complexity=sum(rows) / max(rows[0], 1),
+        operator_complexity=sum(nnz) / max(nnz[0], 1),
+        memory_complexity=(sum(nnz) + sum(p.nnz for p in p_mats))
+        / max(nnz[0], 1),
+    )
+
+
+def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
+    levels = []
+    for l, a_l in enumerate(a_mats):
+        diag = a_l.diagonal()
+        inv_diag = np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 0.0)
+        rows, _, vals = a_l.row_expand()
+        l1 = np.zeros(a_l.nrows)
+        np.add.at(l1, rows, np.abs(vals))
+        inv_l1 = np.where(l1 != 0, 1.0 / np.where(l1 == 0, 1, l1), 0.0)
+        lam = _estimate_lam_max(a_l, inv_diag)
+        has_next = l < len(a_mats) - 1
+        levels.append(DeviceLevel(
+            a=ell_mod.from_csr(a_l, dtype=dtype),
+            p=ell_mod.from_csr(p_mats[l], dtype=dtype) if has_next else None,
+            r=ell_mod.from_csr(p_mats[l].transpose(), dtype=dtype)
+            if has_next else None,
+            inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+            inv_l1=jnp.asarray(inv_l1, dtype=dtype),
+            lam_max=jnp.asarray(lam, dtype=dtype),
+        ))
+    coarse = a_mats[-1].to_dense().astype(np.float64)
+    # regularized pseudo-inverse guards against a singular coarsest block
+    # (can happen for pure-Neumann subproblems)
+    try:
+        coarse_inv = np.linalg.inv(coarse)
+    except np.linalg.LinAlgError:
+        coarse_inv = np.linalg.pinv(coarse)
+    return DeviceHierarchy(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
+        params=params,
+    )

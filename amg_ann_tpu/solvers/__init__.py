@@ -1,0 +1,11 @@
+"""Solve phase: smoothers, V-cycle, PCG, and the amg_solve entry point."""
+
+from .amg_solver import SolveResult, amg_solve
+from .cycle import vcycle
+from .krylov import PCGResult, cg, pcg
+from .smoothers import chebyshev, jacobi, l1_jacobi
+
+__all__ = [
+    "amg_solve", "SolveResult", "vcycle", "pcg", "cg", "PCGResult",
+    "jacobi", "l1_jacobi", "chebyshev",
+]

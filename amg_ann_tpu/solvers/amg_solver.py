@@ -1,0 +1,104 @@
+"""`amg_solve` — the framework's single solve entry point.
+
+Functional analog of the reference's `amg_solver::amg_solve`
+(common/amg_solver.h:22-92): takes the assembled system + AMG parameters,
+times AMG setup and the PCG solve separately, and returns everything the
+reference scrapes out of hypre/PETSc text as first-class values —
+iteration count, full preconditioned-residual history (incl. iteration 0),
+per-level hierarchy stats, grid/operator/memory complexity.
+
+Differences by design (TPU-first):
+  * setup runs on host (data-dependent shapes) building static-shape device
+    pytrees; solve is one jitted XLA computation on device.
+  * no stdout scraping — stats are return values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..amg.hierarchy import AMGParams, Hierarchy, setup
+from ..sparse import ell as ell_mod
+from ..sparse.csr import CSR
+from .cycle import vcycle
+from .krylov import pcg
+
+
+@dataclasses.dataclass
+class SolveResult:
+    x: np.ndarray
+    niters: int
+    p_res: np.ndarray          # preconditioned residual history, iter 0 first
+    converged: bool
+    t_amg_setup: float         # microseconds (reference unit, amg_solver.h:51)
+    t_solve: float             # microseconds
+    hierarchy: Hierarchy
+
+    @property
+    def rho(self) -> float:
+        """Final convergence factor exp(ln(res_k/res_0)/k) — the reference's
+        ρ (data_preprocessing.py:73-78)."""
+        k = self.niters
+        if k < 1:
+            return 1.0
+        return float(np.exp(np.log(self.p_res[k] / self.p_res[0]) / k))
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _jit_solve(device_h, a_ell, b, x0, tol, rtol, maxiter):
+    matvec = lambda v: ell_mod.spmv(a_ell, v)
+    precond = lambda r: vcycle(device_h, r)
+    return pcg(matvec, precond, b, x0, tol=tol, rtol=rtol, maxiter=maxiter)
+
+
+def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
+              rtol: float = 0.0, x0=None, maxiter: int | None = None,
+              hierarchy: Hierarchy | None = None, **kw) -> SolveResult:
+    """Solve A x = b by AMG-preconditioned CG.
+
+    tol is the ABSOLUTE threshold on the preconditioned residual norm
+    (deal.II SolverControl semantics, reference common/amg_solver.h:33);
+    maxiter defaults to min(n, 10·√n + 100) — the reference caps at n but a
+    convergent AMG never approaches that, and the history buffer is
+    maxiter-sized.
+    """
+    if params is None:
+        params = AMGParams(**kw)
+    n = a.nrows
+    if maxiter is None:
+        maxiter = int(min(n, 10 * np.sqrt(n) + 100))
+
+    t0 = time.perf_counter()
+    if hierarchy is None:
+        hierarchy = setup(a, params)
+    t_setup = (time.perf_counter() - t0) * 1e6
+
+    dtype = hierarchy.device.levels[0].a.data.dtype
+    b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
+    x0_dev = (jnp.zeros_like(b_dev) if x0 is None
+              else jnp.asarray(np.asarray(x0), dtype=dtype))
+    a_ell = hierarchy.device.levels[0].a
+
+    t0 = time.perf_counter()
+    res = _jit_solve(hierarchy.device, a_ell, b_dev, x0_dev,
+                     jnp.asarray(tol, dtype=dtype),
+                     jnp.asarray(rtol, dtype=dtype), maxiter)
+    res.x.block_until_ready()
+    t_solve = (time.perf_counter() - t0) * 1e6
+
+    niters = int(res.niters)
+    return SolveResult(
+        x=np.asarray(res.x),
+        niters=niters,
+        p_res=np.asarray(res.history)[: niters + 1],
+        converged=bool(res.converged),
+        t_amg_setup=t_setup,
+        t_solve=t_solve,
+        hierarchy=hierarchy,
+    )
