@@ -1,0 +1,136 @@
+"""Pooling operator: compress a sparse matrix into a multi-channel image.
+
+Exact behavioral port of the reference's ViewMaker
+(common/view_maker.h:41-74), which is the ANN's input featurizer:
+
+  * balanced binning of n rows/cols into view_size bins: with q = n // vs,
+    p = n % vs, t = (q+1)·p, the first p bins get q+1 indices, the rest q:
+        bin(i) = i // (q+1)            if i < t
+               = (i - t) // q + p      otherwise
+  * per (bin_row, bin_col) cell, over all STORED entries (i, j, v):
+        view       += v
+        view_count += 1
+        view_max_pp = max(view_max_pp, max(v, 0))
+        view_max_np = max(view_max_np, max(-v, 0))
+
+Stored explicit zeros count toward `view_count` exactly as in PETSc's
+MatGetRow iteration, so the device path carries the true per-row entry
+counts alongside the padded ELL arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse.csr import CSR
+from ..sparse.ell import ELL
+
+
+class View(NamedTuple):
+    """The 4 channels, each (view_size, view_size), row-major bins."""
+
+    sum: np.ndarray | jax.Array
+    count: np.ndarray | jax.Array
+    max_pp: np.ndarray | jax.Array
+    max_np: np.ndarray | jax.Array
+
+    @property
+    def view_size(self):
+        return self.sum.shape[0]
+
+    def stack(self, channels=("sum", "count", "max_pp", "max_np")):
+        """(view_size, view_size, C) image for the ANN."""
+        xp = jnp if isinstance(self.sum, jax.Array) else np
+        return xp.stack([getattr(self, c) for c in channels], axis=-1)
+
+
+def bin_index(i, n: int, view_size: int):
+    """Balanced bin id of row/col index i (vectorized, host or device)."""
+    q = n // view_size
+    p = n % view_size
+    t = (q + 1) * p
+    return jnp.where(i < t, i // (q + 1), (i - t) // q + p) if isinstance(
+        i, jax.Array) else np.where(i < t, i // (q + 1), (i - t) // q + p)
+
+
+def make_view_host(a: CSR, view_size: int) -> View:
+    """Host (numpy) pooling over all stored CSR entries."""
+    n = a.nrows
+    rows, cols, vals = a.row_expand()
+    br = bin_index(rows, n, view_size)
+    bc = bin_index(cols, n, view_size)
+    flat = br * view_size + bc
+    nb = view_size * view_size
+
+    v_sum = np.zeros(nb, dtype=vals.dtype)
+    np.add.at(v_sum, flat, vals)
+    v_cnt = np.zeros(nb, dtype=np.int64)
+    np.add.at(v_cnt, flat, 1)
+    v_pp = np.zeros(nb, dtype=vals.dtype)
+    np.maximum.at(v_pp, flat, np.maximum(vals, 0.0))
+    v_np = np.zeros(nb, dtype=vals.dtype)
+    np.maximum.at(v_np, flat, np.maximum(-vals, 0.0))
+
+    shape = (view_size, view_size)
+    return View(v_sum.reshape(shape), v_cnt.reshape(shape),
+                v_pp.reshape(shape), v_np.reshape(shape))
+
+
+@functools.partial(jax.jit, static_argnames=("view_size", "nrows", "ncols"))
+def _make_view_device(data, cols, row_nnz, view_size: int, nrows: int,
+                      ncols: int):
+    k = data.shape[1]
+    row_ids = jnp.arange(data.shape[0], dtype=jnp.int32)[:, None]
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < row_nnz[:, None]
+
+    br = bin_index(jnp.broadcast_to(row_ids, data.shape), nrows, view_size)
+    bc = bin_index(cols, ncols, view_size)
+    flat = (br * view_size + bc).reshape(-1)
+    flat = jnp.where(valid.reshape(-1), flat, view_size * view_size)
+    nb = view_size * view_size
+
+    vals = jnp.where(valid, data, 0.0).reshape(-1)
+    # one extra slot absorbs padding entries; sliced off below
+    v_sum = jnp.zeros(nb + 1, dtype=data.dtype).at[flat].add(vals)
+    v_cnt = jnp.zeros(nb + 1, dtype=jnp.int32).at[flat].add(
+        valid.reshape(-1).astype(jnp.int32))
+    v_pp = jnp.zeros(nb + 1, dtype=data.dtype).at[flat].max(
+        jnp.maximum(vals, 0.0))
+    v_np = jnp.zeros(nb + 1, dtype=data.dtype).at[flat].max(
+        jnp.maximum(-vals, 0.0))
+
+    shape = (view_size, view_size)
+    return (v_sum[:nb].reshape(shape), v_cnt[:nb].reshape(shape),
+            v_pp[:nb].reshape(shape), v_np[:nb].reshape(shape))
+
+
+def make_view_device(a: ELL, row_nnz, view_size: int) -> View:
+    """Device (jit) pooling: ELL arrays + true per-row stored-entry counts.
+
+    Padding slots carry value 0, which is neutral for sum/max channels; the
+    row_nnz mask keeps them out of `count`.
+    """
+    s, c, pp, np_ = _make_view_device(
+        a.data, a.cols, jnp.asarray(row_nnz, dtype=jnp.int32),
+        view_size, a.nrows, a.ncols)
+    return View(s, c, pp, np_)
+
+
+def make_view(a: CSR, view_size: int, device: bool = False):
+    """Pooling entry point. Returns (View, t_view_microseconds) — the
+    reference times this operator into the CSV (view_maker.h:35,72-73)."""
+    t0 = time.perf_counter()
+    if device:
+        from ..sparse.ell import from_csr
+
+        view = make_view_device(from_csr(a), a.row_nnz, view_size)
+        jax.block_until_ready(view.sum)
+    else:
+        view = make_view_host(a, view_size)
+    return view, (time.perf_counter() - t0) * 1e6
