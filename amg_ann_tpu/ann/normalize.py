@@ -1,0 +1,104 @@
+"""View normalization modes and channel stacking (train_ann.py parity).
+
+`norm_view` reproduces train_ann.py:133-172 exactly (all 10 shipped modes;
+`pure_log` is the configuration used by every shipped metadata file).
+`stack_channels` reproduces `df_to_model_input`'s view_type table
+(train_ann.py:25,222-258): sum=1, max=1, max_ppnp=2, sum+max=3, sum+max+c=4
+channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VIEW_TYPE_CHANNELS = {"sum": 1, "max": 1, "max_ppnp": 2, "sum+max": 3,
+                      "sum+max+c": 4}
+NORMALIZATION_MODES = [
+    "pure", "resc", "pure_log", "resc_log", "nothing", "mean",
+    "dataset_pure", "log_nothing", "gaussian", "resc_gaussian",
+]
+UNBOUNDED_NORMALIZATION_MODES = ["nothing", "mean", "gaussian",
+                                 "resc_gaussian"]
+
+
+def extended_log(x):
+    return np.log(np.abs(x) + 1) * np.sign(x)
+
+
+def _safe_div_by_count(matrx, count):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(count > 0, matrx / count, 0.0)
+
+
+def norm_view(matrx, count, mode, dataset_max=None):
+    """Normalize one (vs, vs) channel. matrx = channel, count = view_count."""
+    matrx = np.asarray(matrx, dtype=np.float64)
+    count = np.asarray(count)
+    if mode == "pure":
+        return matrx / np.abs(matrx).max()
+    if mode == "resc":
+        tmp = _safe_div_by_count(matrx, count)
+        return tmp / np.abs(tmp).max()
+    if mode == "pure_log":
+        tmp = extended_log(matrx)
+        return tmp / np.abs(tmp).max()
+    if mode == "resc_log":
+        tmp = _safe_div_by_count(matrx, count)
+        tmp = extended_log(tmp)
+        return tmp / np.abs(tmp).max()
+    if mode == "nothing":
+        return matrx
+    if mode == "mean":
+        return _safe_div_by_count(matrx, count)
+    if mode == "dataset_pure":
+        return matrx / dataset_max
+    if mode == "log_nothing":
+        if matrx.min() < 0:
+            return extended_log(matrx)
+        return np.log(matrx + 1e-30)
+    if mode == "gaussian":
+        return (matrx - np.mean(matrx)) / np.std(matrx)
+    if mode == "resc_gaussian":
+        tmp = _safe_div_by_count(matrx, count)
+        return (tmp - np.mean(tmp)) / np.std(tmp)
+    raise KeyError(f"Unrecognised matrix normalization mode {mode!r}")
+
+
+def check_normalized(matrix, mode):
+    """The trainer's sanity checks (train_ann.py:195-218)."""
+    if np.isnan(matrix).any() or np.isinf(matrix).any():
+        raise ValueError(f"view has inf or nan entry, normalization {mode}")
+    if mode not in UNBOUNDED_NORMALIZATION_MODES and (
+            np.any(matrix > 1) or np.any(matrix < -1)):
+        raise ValueError(f"view is not properly normalized with {mode}")
+
+
+def stack_channels(view_sum, view_max_pp, view_max_np, view_count,
+                   view_type: str, mode: str, dataset_max=None,
+                   check: bool = True):
+    """Normalize + stack the requested channels → (vs, vs, C) image.
+
+    The count channel is normalized with the same mode when the mode
+    supports counts (train_ann.py NORM_MODES_COUNT = pure, pure_log).
+    """
+    nv = lambda m: norm_view(m, view_count, mode, dataset_max)
+    if view_type == "sum":
+        chans = [nv(view_sum)]
+    elif view_type == "max":
+        chans = [np.maximum(nv(view_max_pp), nv(view_max_np))]
+    elif view_type == "max_ppnp":
+        chans = [nv(view_max_pp), nv(view_max_np)]
+    elif view_type == "sum+max":
+        chans = [nv(view_sum), nv(view_max_pp), nv(view_max_np)]
+    elif view_type == "sum+max+c":
+        if mode not in ("pure", "pure_log"):
+            raise KeyError(
+                f"count channel requires mode pure|pure_log, got {mode!r}")
+        chans = [nv(view_sum), nv(view_max_pp), nv(view_max_np),
+                 norm_view(view_count, view_count, mode, dataset_max)]
+    else:
+        raise KeyError(f"Unrecognised view type: {view_type!r}")
+    if check:
+        for c in chans:
+            check_normalized(c, mode)
+    return np.stack(chans, axis=-1)

@@ -1,0 +1,176 @@
+"""Training driver for the θ-cost ANN (train_ann.py parity, JAX-native).
+
+Mirrors `fit_model` (train_ann.py:263-313): Adam, shuffled minibatches,
+Keras-style validation_split (tail fraction held out, untouched by the
+per-epoch shuffle), ReduceLROnPlateau on the training loss (factor 0.5,
+min_delta 1e-9, min_lr 1e-8), best-loss checkpointing, history records.
+
+TPU-first: one jitted train step (donated state), full-batch jitted eval;
+the optimizer lr is an injected hyperparameter so plateau reductions don't
+retrace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from .models import ThetaCostModel, mae, mse, mse_mvar, mse_var
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: Any                 # final TrainState
+    best_params: Any           # params at the best training loss
+    history: list              # list of per-epoch dicts
+    best_loss: float
+
+
+def create_state(model: ThetaCostModel, rng, view_shape, lr: float = 1e-3):
+    view = jnp.zeros((1, *view_shape))
+    params_vec = jnp.zeros((1, model.nparams))
+    variables = model.init(rng, view, params_vec)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return TrainState.create(apply_fn=model.apply, params=variables["params"],
+                             tx=tx)
+
+
+def _loss_fn(learn_err: bool):
+    return mse_mvar if learn_err else mse
+
+
+def make_train_step(model: ThetaCostModel):
+    loss_fn = _loss_fn(model.learn_err)
+
+    @jax.jit
+    def train_step(state: TrainState, view, pvec, target):
+        def loss(params):
+            pred = state.apply_fn({"params": params}, view, pvec)
+            return loss_fn(target, pred), pred
+
+        (l, pred), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, l, pred
+
+    return train_step
+
+
+def make_eval_step(model: ThetaCostModel):
+    loss_fn = _loss_fn(model.learn_err)
+
+    @jax.jit
+    def eval_step(params, view, pvec, target):
+        pred = model.apply({"params": params}, view, pvec)
+        out = {"loss": loss_fn(target, pred), "mae": mae(target, pred),
+               "mse": mse(target, pred)}
+        if model.learn_err:
+            out["mse_var"] = mse_var(target, pred)
+        return out
+
+    return eval_step
+
+
+def fit(model: ThetaCostModel, view_data, param_data, target_data, *,
+        epochs: int = 100, batch_size: int = 32, validation_split: float = 0.0,
+        patience: int = 5, lr: float = 1e-3, seed: int = 0,
+        state: TrainState | None = None, verbose: bool = False,
+        lr_factor: float = 0.5, min_delta: float = 1e-9,
+        min_lr: float = 1e-8) -> FitResult:
+    """Train; returns final + best-loss params and per-epoch history."""
+    view_data = np.asarray(view_data, dtype=np.float32)
+    param_data = np.asarray(param_data, dtype=np.float32)
+    target_data = np.asarray(target_data, dtype=np.float32).reshape(-1, 1)
+    n = view_data.shape[0]
+
+    n_val = int(round(validation_split * n))
+    if n_val:
+        v_view, v_par, v_tgt = (view_data[-n_val:], param_data[-n_val:],
+                                target_data[-n_val:])
+        view_data, param_data, target_data = (
+            view_data[:-n_val], param_data[:-n_val], target_data[:-n_val])
+        n = n - n_val
+
+    rng = jax.random.PRNGKey(seed)
+    if state is None:
+        rng, init_rng = jax.random.split(rng)
+        state = create_state(model, init_rng, view_data.shape[1:], lr)
+    else:
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+
+    np_rng = np.random.default_rng(seed)
+    history = []
+    best_loss = np.inf
+    best_params = state.params
+    plateau = 0
+    cur_lr = lr
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        perm = np_rng.permutation(n)
+        losses = []
+        for start in range(0, n, batch_size):
+            idx = perm[start:start + batch_size]
+            state, l, _ = train_step(state, view_data[idx], param_data[idx],
+                                     target_data[idx])
+            losses.append(float(l))
+        # epoch metrics on the full training set (Keras reports running
+        # means; full-set eval is the cleaner JAX equivalent)
+        m = {k: float(v) for k, v in
+             eval_step(state.params, view_data, param_data,
+                       target_data).items()}
+        rec = {"epoch": epoch, **m, "lr": cur_lr,
+               "t_epoch": time.perf_counter() - t0}
+        if n_val:
+            vm = eval_step(state.params, v_view, v_par, v_tgt)
+            rec.update({f"val_{k}": float(v) for k, v in vm.items()})
+        history.append(rec)
+        if verbose:
+            print(f"epoch {epoch:04d} " +
+                  " ".join(f"{k}={v:.4e}" for k, v in m.items()))
+
+        # checkpoint best + ReduceLROnPlateau on training loss
+        if m["loss"] < best_loss - min_delta:
+            best_loss = m["loss"]
+            best_params = jax.tree.map(lambda x: x.copy(), state.params)
+            plateau = 0
+        else:
+            plateau += 1
+            if plateau >= patience and cur_lr > min_lr:
+                cur_lr = max(cur_lr * lr_factor, min_lr)
+                state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    cur_lr)
+                plateau = 0
+
+    return FitResult(state=state, best_params=best_params, history=history,
+                     best_loss=best_loss)
+
+
+def predict(model: ThetaCostModel, params, view_data, param_data,
+            batch_size: int = 4096):
+    """Batched inference; returns (N, 1|2) float32."""
+    view_data = np.asarray(view_data, dtype=np.float32)
+    param_data = np.asarray(param_data, dtype=np.float32)
+
+    @jax.jit
+    def step(v, p):
+        return model.apply({"params": params}, v, p)
+
+    outs = []
+    for s in range(0, view_data.shape[0], batch_size):
+        outs.append(np.asarray(step(view_data[s:s + batch_size],
+                                    param_data[s:s + batch_size])))
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,173 @@
+"""Pipeline: sweep CSV schema, preprocessing math, split contracts, θ* search."""
+
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from amg_ann_tpu.ann import ThetaCostModel, create_state
+from amg_ann_tpu.pipeline import (
+    SweepConfig, best_theta, calc_rho, generate_dataset, get_summary_perf,
+    interp1d_tgt, interp_rho, pred_theta, preprocess_data, run_config,
+    split_train_validation_test,
+)
+from amg_ann_tpu.pipeline import test_model as run_test_model
+
+APP = "testcase2-diffusion-structured"
+
+
+@pytest.fixture(scope="module")
+def sweep_csv(tmp_path_factory):
+    """A real (tiny) sweep: 2 problems × 9 θ values."""
+    out = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    configs = [
+        SweepConfig(pattern_size=2, refinements=2, mode=3,
+                    epsv=tuple(rng.uniform(0, 3, 8)),
+                    strong_threshold=(0.1, 0.91, 0.1),
+                    rtol_mode=True, setting_name=f"cfg{i}")
+        for i in range(2)
+    ]
+    times_csv = generate_dataset(configs, str(out))
+    pool_csv = generate_dataset(configs, str(out), pooling_size=10)
+    return times_csv, pool_csv, str(out)
+
+
+class TestDatagen:
+    def test_schema(self, sweep_csv):
+        times_csv, pool_csv, _ = sweep_csv
+        df = pd.read_csv(times_csv)
+        expect = ("setting,dim,ndof,mesh_ref,degree,sol_id,sol_pattern_size,"
+                  "epsv,mode,timestamp,theta,maxrowsum,symop,tol,"
+                  "t_amg_setup,t_solve,niters,p_res").split(",")
+        assert list(df.columns) == expect
+        assert len(df) == 2 * 9  # 2 configs x 9 thetas
+        assert df["ndof"].nunique() == 1 and df["dim"].unique() == [3]
+        # p_res is a quoted comma-joined vector of niters+1 entries
+        row = df.iloc[0]
+        res = [float(x) for x in row["p_res"].split(",")]
+        assert len(res) == row["niters"] + 1
+
+    def test_pooling_schema(self, sweep_csv):
+        _, pool_csv, _ = sweep_csv
+        df = pd.read_csv(pool_csv)
+        assert "view" in df.columns and "view_count" in df.columns
+        row = df.iloc[0]
+        assert row["view_size"] == 10
+        v = [float(x) for x in row["view"].split(",")]
+        assert len(v) == 100
+        c = [int(x) for x in row["view_count"].split(",")]
+        assert sum(c) > 0
+
+
+class TestPreprocessMath:
+    def test_calc_rho(self):
+        res = np.array([1.0, 0.1, 0.01])
+        rho = calc_rho(res)
+        np.testing.assert_allclose(rho, [0.1, 0.1])
+        assert calc_rho(np.array([5.0])) == [1.0]
+
+    def test_interp_rho_exact_endpoint(self):
+        res = np.array([1.0, 0.1, 0.01])
+        i, rp, r = interp_rho(res, 0.01)
+        assert i == 2 and rp == 0.01
+        np.testing.assert_allclose(r, 0.1)
+
+    def test_interp_rho_interpolated(self):
+        res = np.array([1.0, 0.1, 0.01])
+        i, rp, r = interp_rho(res, 0.05)
+        assert 1 < i < 2
+        # log-linear between iterations 1 and 2
+        np.testing.assert_allclose(np.exp(np.log(0.05) / i), r)
+
+    def test_preprocess_columns(self, sweep_csv):
+        times_csv, _, _ = sweep_csv
+        df = preprocess_data(times_csv, APP, window=7, order=3)
+        for c in ("t", "tsg", "rho", "irho", "tn", "tnl", "tsgn", "tsgnl",
+                  "rhon", "rhonl", "irhon", "irhonl"):
+            assert c in df.columns, c
+        # tnl in [0, 1] per group
+        assert df["tnl"].min() >= -1e-12 and df["tnl"].max() <= 1 + 1e-12
+        assert (df["t"] == df["t_solve"] + df["t_amg_setup"]).all()
+
+    def test_best_theta(self):
+        g = pd.DataFrame({"theta": [0.3, 0.5, 0.7], "t": [5.0, 10.0, 8.0]})
+        out = best_theta(g)
+        assert out["theta_opt"] == 0.3
+        np.testing.assert_allclose(out["gain"], 0.5)
+
+    def test_split_contracts(self, sweep_csv, tmp_path):
+        times_csv, pool_csv, _ = sweep_csv
+        df = preprocess_data(times_csv, APP, window=7, order=3)
+        view_df = pd.read_csv(pool_csv)
+        # make the two configs distinct problems for the split: use epsv col
+        tr, te = split_train_validation_test(df, APP, view_df,
+                                             str(tmp_path), test=0.5)
+        assert len(tr) + len(te) == len(df)
+        # problem-level: no epsv appears in both sets
+        assert not (set(tr["epsv"]) & set(te["epsv"]))
+        assert (tmp_path / "train" / "stats.csv.gz").exists()
+        assert (tmp_path / "train" / "view.csv.gz").exists()
+
+
+class TestEvaluate:
+    def test_interp1d_endfill(self):
+        df = pd.DataFrame({"theta": [0.1, 0.5, 0.9], "t": [1.0, 2.0, 3.0]})
+        assert interp1d_tgt(df, 0.05, "t") == 1.0   # clamp left
+        assert interp1d_tgt(df, 0.95, "t") == 3.0   # clamp right
+        np.testing.assert_allclose(interp1d_tgt(df, 0.3, "t"), 1.5)
+
+    def test_pred_theta_grid(self):
+        """θ* search against a model with a known minimum."""
+        model = ThetaCostModel(nparams=2, wide1=2, depth1=1, wide2=0,
+                               depth2=0, bottleneck=2, wide3=4, depth3=1,
+                               learn_err=False)
+        state = create_state(model, jax.random.PRNGKey(0), (8, 8, 1))
+        view = np.zeros((8, 8, 1), dtype=np.float32)
+        theta, pred, sigma = pred_theta(
+            model, state.params, view,
+            {"log2ndof": 10.0, "theta": 0.5},
+            {"N": 21, "lvls": 2})
+        # reference semantics: predictions are clipped to [0,1], θ is not —
+        # a level-2 grid around an endpoint may overshoot by delta/reduce
+        assert 0.05 - 0.09 <= theta <= 0.95 + 0.09
+        assert 0.0 <= pred <= 1.0 and sigma == 0.0
+
+    def test_test_model_and_summary(self):
+        """End-to-end perf metrics with a dummy model over synthetic curves."""
+        model = ThetaCostModel(nparams=2, wide1=2, depth1=1, wide2=0,
+                               depth2=0, bottleneck=2, wide3=4, depth3=1,
+                               learn_err=True)
+        state = create_state(model, jax.random.PRNGKey(0), (6, 6, 1))
+        thetas = np.round(np.arange(0.1, 0.91, 0.1), 2)
+        rows = []
+        for pid in range(3):
+            for th in thetas:
+                rows.append({
+                    "pid": pid, "theta": th,
+                    "t": 10 + pid + 4 * (th - 0.3) ** 2,
+                    "tnl": (th - 0.3) ** 2,
+                    "log2ndof": 12.0,
+                    "view_img": np.zeros((6, 6, 1), dtype=np.float32),
+                })
+        df = pd.DataFrame(rows)
+        perf = run_test_model(model, state.params, df, join_on=["pid"],
+                          tgt="tnl", inputs=["log2ndof", "theta"],
+                          view_column="view_img",
+                          config={"N": 11, "lvls": 1})
+        assert len(perf) == 3
+        assert {"perf", "perf_max", "theta_nn", "theta_argmin"} <= set(
+            perf.columns)
+        # oracle gain: t(0.5) = 10+pid+0.16, t_min = t(0.3)
+        np.testing.assert_allclose(perf["theta_argmin"], 0.3)
+        summary = get_summary_perf(perf)
+        assert set(summary) == {"frac_good", "mean_gain", "medi_gain",
+                                "perf_mean", "perf_medi", "lost_mean",
+                                "lost_medi"}
+        assert np.isfinite(summary["mean_gain"])
+        # σ̄ = 0 rejects every prediction → all gains zero
+        s0 = get_summary_perf(perf, sigma_bar=0.0)
+        assert s0["mean_gain"] == 0.0
