@@ -3,9 +3,10 @@
 from .amg_solver import SolveResult, amg_solve
 from .cycle import vcycle
 from .krylov import PCGResult, cg, pcg
+from .refine import IRResult, ir_solve
 from .smoothers import chebyshev, jacobi, l1_jacobi
 
 __all__ = [
     "amg_solve", "SolveResult", "vcycle", "pcg", "cg", "PCGResult",
-    "jacobi", "l1_jacobi", "chebyshev",
+    "jacobi", "l1_jacobi", "chebyshev", "ir_solve", "IRResult",
 ]

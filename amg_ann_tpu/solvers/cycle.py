@@ -29,14 +29,18 @@ def _cycle(h, l, b):
         # that lands on the MXU.
         return h.coarse_inv @ b
 
+    # Shape contract: vectors at level l have length lev.a.data.shape[0]
+    # (nrows, possibly row-padded for sharding); restriction output length
+    # equals the next level's padded row count because r/p/a share the same
+    # padding rule. Padded rows are all-zero, so they stay zero throughout.
     x = jnp.zeros_like(b)
     for _ in range(params.n_pre_smooth):
         x = apply_smoother(lev, x, b, params)
 
     r = b - spmv(lev.a, x)
-    bc = spmv(lev.r, r)[: h.levels[l + 1].a.nrows]
+    bc = spmv(lev.r, r)
     xc = _cycle(h, l + 1, bc)
-    x = x + spmv(lev.p, xc)[: lev.a.nrows]
+    x = x + spmv(lev.p, xc)
 
     for _ in range(params.n_post_smooth):
         x = apply_smoother(lev, x, b, params)

@@ -38,8 +38,18 @@ class CSR:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
+        # O(nnz) sortedness check saves the O(nnz log nnz) lexsort for the
+        # many internal callers that pass row-major-ordered triplets
+        presorted = True
+        if rows.size > 1:
+            dr = rows[1:] - rows[:-1]
+            presorted = bool(np.all(dr >= 0))
+            if presorted:
+                ties = dr == 0
+                presorted = bool(np.all(cols[1:][ties] > cols[:-1][ties]))
+        if not presorted:
+            order = np.lexsort((cols, rows))
+            rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and rows.size:
             # first occurrence of each (row, col) pair in the sorted stream
             first = np.empty(rows.size, dtype=bool)
@@ -112,9 +122,9 @@ class CSR:
     def matvec(self, x):
         x = np.asarray(x)
         rows, cols, vals = self.row_expand()
-        y = np.zeros(self.nrows, dtype=np.result_type(self.data, x))
-        np.add.at(y, rows, vals * x[cols])
-        return y
+        return np.bincount(rows, weights=vals * x[cols],
+                           minlength=self.nrows).astype(
+            np.result_type(self.data, x))
 
     def transpose(self) -> "CSR":
         rows, cols, vals = self.row_expand()

@@ -1,0 +1,121 @@
+"""Benchmark: AMG-PCG on 3D Poisson (BASELINE.json config 1), real TPU.
+
+Prints ONE JSON line:
+  metric      effective SpMV throughput through the full V-cycle-
+              preconditioned solve (nnz processed per second of solve time)
+  vs_baseline fraction of the single-chip HBM speed-of-light bound
+              (bytes-per-nnz roofline; see _speed_of_light)
+
+Solve protocol: mixed-precision iterative refinement to 1e-8 relative TRUE
+residual (f32 AMG-PCG inner sweeps + f64 outer residuals) — the reference's
+convergence target (tol 1e-8, common/amg_solver.h:33) reached TPU-natively.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", "64"))
+RTOL = 1e-8
+
+
+def _hbm_bandwidth_gbs():
+    """Known per-chip HBM bandwidths (GB/s)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v5p": 2765.0,
+             "v6": 1640.0, "cpu": 50.0}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 819.0
+
+
+def _vcycle_nnz(stats, n_pre=1, n_post=1):
+    """nnz touched by one V-cycle + the PCG fine-level SpMV."""
+    total = 0
+    L = stats.n_levels
+    for l in range(L - 1):
+        smooth = (n_pre + n_post) * stats.nnz[l]
+        residual = stats.nnz[l]
+        total += smooth + residual
+    total += stats.rows[-1] ** 2            # coarsest dense solve
+    # P and R applications ≈ 2 × Σ nnz(P_l); memory complexity carries Σ P
+    return total
+
+
+def main():
+    import jax
+
+    # BENCH_PLATFORM=cpu forces the CPU backend even though this image's
+    # sitecustomize pre-registers the axon TPU plugin (see tests/conftest).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    jax.config.update("jax_enable_x64", True)
+    # first TPU compile through the tunnel is minutes — persist it
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from amg_ann_tpu.amg import AMGParams, setup
+    from amg_ann_tpu.fem import poisson_7pt
+    from amg_ann_tpu.solvers import ir_solve
+
+    a = poisson_7pt(N)
+    rng = np.random.default_rng(0)
+    b = a.matvec(rng.random(N**3))
+
+    params = AMGParams(strong_threshold=0.25, smoother="chebyshev",
+                       dtype=np.float32)
+    t0 = time.perf_counter()
+    h = setup(a, params)
+    t_setup = time.perf_counter() - t0
+
+    # warm-up: compile both jitted paths
+    ir_solve(a, b, params, hierarchy=h, rtol=RTOL, max_outer=3,
+             inner_maxiter=5)
+
+    res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
+    t_solve = res.t_solve / 1e6
+
+    p_nnz = sum(p.nnz for p in h.p_mats)
+    cyc_nnz = _vcycle_nnz(h.stats) + 2 * p_nnz
+    pcg_iter_nnz = cyc_nnz + h.stats.nnz[0]
+    total_nnz = (res.inner_iters * pcg_iter_nnz
+                 + (res.outer_iters + 1) * h.stats.nnz[0])
+    nnz_per_s = total_nnz / t_solve
+
+    # speed-of-light: f32 ELL SpMV streams 4B data + 4B cols + ~4B gathered
+    # x per nnz (output amortized) ⇒ 12 B/nnz at HBM bandwidth
+    sol = _hbm_bandwidth_gbs() * 1e9 / 12.0
+
+    out = {
+        "metric": "amg_pcg_vcycle_spmv_throughput",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / sol, 4),
+        "n": N,
+        "ndof": N**3,
+        "converged": bool(res.converged),
+        "true_rel_res": float(res.true_res),
+        "outer_iters": res.outer_iters,
+        "inner_iters": res.inner_iters,
+        "t_solve_s": round(t_solve, 4),
+        "t_setup_s": round(t_setup, 2),
+        "grid_complexity": round(h.stats.grid_complexity, 3),
+        "operator_complexity": round(h.stats.operator_complexity, 3),
+        "device": str(jax.devices()[0].device_kind),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
