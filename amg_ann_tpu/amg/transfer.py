@@ -1,0 +1,109 @@
+"""Structured-grid transfer operators (trilinear P, full-weighting R = Pᵀ).
+
+Used by the structured ("PFMG-style") hierarchy mode: on a Dirichlet
+interior grid with nodes 0..n-1 per axis, coarse node c (0..m-1, m = n//2)
+sits at fine position 2c+1; even fine nodes take weight ½ from each
+adjacent coarse node (a missing neighbor at the boundary contributes the
+zero boundary value — weight simply dropped).
+
+Two representations, guaranteed identical (tested):
+  * `prolongation_csr` — explicit sparse P for the host-side Galerkin
+    product R·A·P;
+  * `prolongate` / `restrict` — functional 3-D array versions for the
+    device V-cycle (pure slice/pad arithmetic, no gather: TPU fast path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..sparse.csr import CSR
+
+
+def coarse_size(n: int) -> int:
+    """Coarse nodes per axis: c at fine position 2c+1 ≤ n-1 ⇒ m = n // 2."""
+    return n // 2
+
+
+def _p1d(n: int) -> CSR:
+    """1-D prolongation (n × m)."""
+    m = coarse_size(n)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if i % 2 == 1:
+            rows.append(i); cols.append((i - 1) // 2); vals.append(1.0)
+        else:
+            left = i // 2 - 1
+            right = i // 2
+            if left >= 0:
+                rows.append(i); cols.append(left); vals.append(0.5)
+            if right < m:
+                rows.append(i); cols.append(right); vals.append(0.5)
+    return CSR.from_coo(rows, cols, vals, (n, m))
+
+
+def prolongation_csr(shape) -> CSR:
+    """P = P1x ⊗ P1y ⊗ P1z for a (nx, ny, nz) interior grid (flat indexing
+    (gx·ny + gy)·nz + gz, matching the FEM generators)."""
+    px, py, pz = (_p1d(s) for s in shape)
+
+    def kron(a: CSR, b: CSR) -> CSR:
+        ar, ac, av = a.row_expand()
+        br, bc, bv = b.row_expand()
+        rows = (ar[:, None] * b.nrows + br[None, :]).ravel()
+        cols = (ac[:, None] * b.ncols + bc[None, :]).ravel()
+        vals = (av[:, None] * bv[None, :]).ravel()
+        return CSR.from_coo(rows, cols, vals,
+                            (a.nrows * b.nrows, a.ncols * b.ncols))
+
+    return kron(kron(px, py), pz)
+
+
+# -- functional (device) versions -------------------------------------------
+def _up1(c, n: int, axis: int):
+    """Interpolate along `axis`: m coarse values → n fine values."""
+    c = jnp.moveaxis(c, axis, 0)
+    m = c.shape[0]
+    assert m == coarse_size(n), (m, n)
+    k = (n + 1) // 2  # number of even fine nodes
+    trail = ((0, 0),) * (c.ndim - 1)
+    lc = jnp.pad(c, ((1, 0),) + trail)[:k]   # c[j-1] (0 at boundary)
+    rc = jnp.pad(c, ((0, 1),) + trail)[:k]   # c[j]   (0 past the end)
+    f = jnp.zeros((n,) + c.shape[1:], dtype=c.dtype)
+    f = f.at[1::2].set(c)
+    f = f.at[0::2].set(0.5 * (lc + rc))
+    return jnp.moveaxis(f, 0, axis)
+
+
+def _down1(f, axis: int):
+    """Adjoint of _up1 along `axis`: n fine → m coarse.
+    c[j] = f[2j+1] + ½ f[2j] + ½ f[2j+2]."""
+    f = jnp.moveaxis(f, axis, 0)
+    n = f.shape[0]
+    m = coarse_size(n)
+    odd = f[1::2][:m]
+    even = f[0::2]
+    trail = ((0, 0),) * (f.ndim - 1)
+    even_p = jnp.pad(even, ((0, 1),) + trail)
+    c = odd + 0.5 * even[:m] + 0.5 * even_p[1:m + 1]
+    return jnp.moveaxis(c, 0, axis)
+
+
+def prolongate(c, fine_shape):
+    """xf = P xc, both flat; fine_shape = (nx, ny, nz)."""
+    nx, ny, nz = fine_shape
+    x = c.reshape(tuple(coarse_size(s) for s in fine_shape))
+    x = _up1(x, nx, 0)
+    x = _up1(x, ny, 1)
+    x = _up1(x, nz, 2)
+    return x.reshape(-1)
+
+
+def restrict(fv, fine_shape):
+    """xc = Pᵀ xf, both flat."""
+    x = fv.reshape(fine_shape)
+    x = _down1(x, 0)
+    x = _down1(x, 1)
+    x = _down1(x, 2)
+    return x.reshape(-1)

@@ -51,15 +51,17 @@ class SolveResult:
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter",))
-def _jit_solve(device_h, a_ell, b, x0, tol, rtol, maxiter):
-    matvec = lambda v: ell_mod.spmv(a_ell, v)
+def _jit_solve(device_h, a_op, b, x0, tol, rtol, maxiter):
+    from .ops import op_matvec
+
+    matvec = lambda v: op_matvec(a_op, v)
     precond = lambda r: vcycle(device_h, r)
     return pcg(matvec, precond, b, x0, tol=tol, rtol=rtol, maxiter=maxiter)
 
 
 def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
               rtol: float = 0.0, x0=None, maxiter: int | None = None,
-              hierarchy: Hierarchy | None = None, **kw) -> SolveResult:
+              hierarchy=None, grid_shape=None, **kw) -> SolveResult:
     """Solve A x = b by AMG-preconditioned CG.
 
     tol is the ABSOLUTE threshold on the preconditioned residual norm
@@ -76,7 +78,12 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
 
     t0 = time.perf_counter()
     if hierarchy is None:
-        hierarchy = setup(a, params)
+        if grid_shape is not None:
+            from ..amg.structured_mg import setup_structured
+
+            hierarchy = setup_structured(a, grid_shape, params)
+        else:
+            hierarchy = setup(a, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
     dtype = hierarchy.device.levels[0].a.data.dtype

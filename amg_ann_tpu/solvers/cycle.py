@@ -1,8 +1,12 @@
-"""V-cycle application over a DeviceHierarchy (jit-traceable, unrolled).
+"""V-cycle application over a device hierarchy (jit-traceable, unrolled).
 
 The level loop is a Python recursion over a static tuple of levels, so jit
-traces one fused computation per hierarchy shape — no dynamic control flow,
-every SpMV a static-shape gather/contract XLA fuses aggressively.
+traces one fused computation per hierarchy shape — no dynamic control
+flow. Works over both hierarchy kinds:
+
+  * classical (DeviceLevel): explicit ELL P/R matrices (gather SpMV);
+  * structured (StructuredLevel): DIA operators + functional trilinear
+    prolongate / full-weighting restrict — the gather-free TPU fast path.
 
 This is the device-side replacement for hypre's V-cycle inside PETSc's
 `cg.solve` (reference: common/amg_solver.h:53-56).
@@ -12,7 +16,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..amg.structured_mg import StructuredLevel
+from ..amg.transfer import prolongate, restrict
 from ..sparse.ell import spmv
+from .ops import op_matvec
 from .smoothers import apply_smoother
 
 
@@ -29,18 +36,22 @@ def _cycle(h, l, b):
         # that lands on the MXU.
         return h.coarse_inv @ b
 
-    # Shape contract: vectors at level l have length lev.a.data.shape[0]
-    # (nrows, possibly row-padded for sharding); restriction output length
-    # equals the next level's padded row count because r/p/a share the same
-    # padding rule. Padded rows are all-zero, so they stay zero throughout.
+    # Shape contract (classical mode): vectors at level l have length
+    # lev.a.data.shape[0] (possibly row-padded for sharding); padding rows
+    # are all-zero and stay zero throughout.
     x = jnp.zeros_like(b)
     for _ in range(params.n_pre_smooth):
         x = apply_smoother(lev, x, b, params)
 
-    r = b - spmv(lev.a, x)
-    bc = spmv(lev.r, r)
-    xc = _cycle(h, l + 1, bc)
-    x = x + spmv(lev.p, xc)
+    r = b - op_matvec(lev.a, x)
+    if isinstance(lev, StructuredLevel):
+        bc = restrict(r, lev.shape)
+        xc = _cycle(h, l + 1, bc)
+        x = x + prolongate(xc, lev.shape)
+    else:
+        bc = spmv(lev.r, r)
+        xc = _cycle(h, l + 1, bc)
+        x = x + spmv(lev.p, xc)
 
     for _ in range(params.n_post_smooth):
         x = apply_smoother(lev, x, b, params)

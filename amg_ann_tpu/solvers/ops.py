@@ -1,0 +1,32 @@
+"""Operator-apply dispatch: one matvec entry point for every device
+operator representation (ELL gather, DIA banded jnp, DIA Pallas kernel).
+
+Backend selection happens at trace time: the Pallas TPU kernel is used for
+DIA operands when tracing for TPU; elsewhere the portable jnp shift path
+runs (identical math).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..sparse.dia import DIA, dia_spmv, dia_spmv_fast
+from ..sparse.ell import ELL, spmv as ell_spmv
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def op_matvec(op, x):
+    """y = op @ x for ELL or DIA operands."""
+    if isinstance(op, DIA):
+        if _on_tpu() and op.cols == 128:
+            return dia_spmv_fast(op, x)
+        return dia_spmv(op, x)
+    if isinstance(op, ELL):
+        return ell_spmv(op, x)
+    raise TypeError(f"unknown operator type {type(op)!r}")

@@ -46,8 +46,12 @@ class IRResult:
 
 def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
              inner_rtol=1e-4, inner_maxiter=60, max_outer=20,
-             hierarchy: Hierarchy | None = None, **kw) -> IRResult:
-    """Solve A x = b to rtol (f64 true residual) with an f32 hierarchy."""
+             hierarchy=None, grid_shape=None, **kw) -> IRResult:
+    """Solve A x = b to rtol (f64 true residual) with an f32 hierarchy.
+
+    grid_shape: when given, build the structured (all-banded, gather-free)
+    hierarchy instead of classical PMIS — the TPU fast path.
+    """
     if params is None:
         params = AMGParams(**kw)
     if params.dtype is None:
@@ -55,18 +59,31 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
 
     t0 = time.perf_counter()
     if hierarchy is None:
-        hierarchy = setup(a, params)
+        if grid_shape is not None:
+            from ..amg.structured_mg import setup_structured
+
+            hierarchy = setup_structured(a, grid_shape, params)
+        else:
+            hierarchy = setup(a, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
     x64 = jax.config.read("jax_enable_x64")
     hi_dtype = jnp.float64 if x64 else jnp.float32
-    a_hi = ell_mod.from_csr(a, dtype=hi_dtype)
+    # f64 outer residual: use the banded (gather-free) path when the matrix
+    # has DIA structure — the emulated-f64 gather SpMV would otherwise
+    # dominate the whole solve on TPU
+    from ..sparse.dia import from_csr_dia
+    from .ops import op_matvec
+
+    a_hi = from_csr_dia(a, dtype=hi_dtype, max_offsets=64)
+    if a_hi is None:
+        a_hi = ell_mod.from_csr(a, dtype=hi_dtype)
     b_hi = jnp.asarray(np.asarray(b), dtype=hi_dtype)
     norm_b = float(jnp.linalg.norm(b_hi))
     if norm_b == 0.0:
         norm_b = 1.0
 
-    spmv_hi = jax.jit(ell_mod.spmv)
+    spmv_hi = jax.jit(op_matvec)
     a32 = hierarchy.device.levels[0].a
 
     t0 = time.perf_counter()

@@ -10,20 +10,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..sparse.ell import spmv
+from .ops import op_matvec
 
 
 def jacobi(lev, x, b, omega=None):
     """x ← x + ω D⁻¹ (b − A x); default ω = 1/λ_max(D⁻¹A) (damped)."""
     if omega is None:
         omega = 1.0 / lev.lam_max
-    return x + omega * lev.inv_diag * (b - spmv(lev.a, x))
+    return x + omega * lev.inv_diag * (b - op_matvec(lev.a, x))
 
 
 def l1_jacobi(lev, x, b):
     """x ← x + D_ℓ1⁻¹ (b − A x), D_ℓ1 = Σ_j |a_ij|. Unconditionally
     convergent for SPD A; the BoomerAMG relax-18 analog."""
-    return x + lev.inv_l1 * (b - spmv(lev.a, x))
+    return x + lev.inv_l1 * (b - op_matvec(lev.a, x))
 
 
 def chebyshev(lev, x, b, degree: int = 2, eig_fraction: float = 0.3):
@@ -38,13 +38,13 @@ def chebyshev(lev, x, b, degree: int = 2, eig_fraction: float = 0.3):
     delta = 0.5 * (lmax - lmin)
     sigma1 = theta / delta
 
-    r = b - spmv(lev.a, x)
+    r = b - op_matvec(lev.a, x)
     z = lev.inv_diag * r
     d = z / theta
     rho = 1.0 / sigma1
     for _ in range(degree - 1):
         x = x + d
-        r = r - spmv(lev.a, d)
+        r = r - op_matvec(lev.a, d)
         z = lev.inv_diag * r
         rho_new = 1.0 / (2.0 * sigma1 - rho)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * z

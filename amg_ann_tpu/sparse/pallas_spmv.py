@@ -1,0 +1,109 @@
+"""Pallas TPU kernel for DIA (banded) SpMV.
+
+y = Σ_k d_k ⊙ shift(x, o_k) with x laid out (R, 128): a global shift by
+o decomposes into a whole-row shift r = o // 128 (pure VMEM addressing)
+and a lane shift s = o % 128 (one lane-rotate/concat per offset). The
+kernel tiles rows into blocks; each program DMAs its x block plus halo
+rows from HBM into VMEM once and accumulates all K taps from VMEM —
+~4·(K+2) bytes of HBM traffic per element instead of XLA's per-tap
+gather (measured ~0.11 Gnnz/s on v5e; this kernel targets tens of
+Gnnz/s).
+
+Caller contract: x is pre-padded with H halo rows of zeros on both ends
+(H = max(|o_k| // 128) + 1); boundary wrap values are annihilated by the
+zero coefficients DIA carries at rows where an offset walks off the
+matrix, so zero padding is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _decompose(offsets):
+    return [divmod(int(o), LANES) for o in offsets]
+
+
+def halo_rows(offsets) -> int:
+    rs = [abs(r) + (1 if s else 0) for r, s in _decompose(offsets)]
+    return max(rs) if rs else 1
+
+
+def _dia_kernel(offsets, block_rows, halo, x_hbm, d_ref, o_ref, sem):
+    i = pl.program_id(0)
+
+    def body(xv):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * block_rows, block_rows + 2 * halo)],
+            xv, sem)
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((block_rows, LANES), dtype=o_ref.dtype)
+        for k, (r, s) in enumerate(_decompose(offsets)):
+            base = halo + r
+            if s == 0:
+                shifted = xv[pl.ds(base, block_rows), :]
+            else:
+                hi = xv[pl.ds(base, block_rows), pl.ds(s, LANES - s)]
+                lo = xv[pl.ds(base + 1, block_rows), pl.ds(0, s)]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            acc = acc + d_ref[k] * shifted
+        o_ref[:, :] = acc
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((block_rows + 2 * halo, LANES), x_hbm.dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
+def dia_spmv_pallas(data, x_padded, offsets, block_rows: int | None = None):
+    """data: (K, R, 128); x_padded: (R + 2H, 128) with H = halo_rows.
+
+    Returns y: (R, 128)."""
+    k, r, lanes = data.shape
+    assert lanes == LANES
+    h = halo_rows(offsets)
+    assert x_padded.shape == (r + 2 * h, LANES), (x_padded.shape, r, h)
+    if block_rows is None:
+        # largest power-of-2 divisor of r that fits the VMEM budget — big
+        # blocks amortize the per-program DMA + dispatch cost
+        vmem_budget = 4 * 1024 * 1024
+        target = max(8, min(r, vmem_budget // (max(k, 1) * LANES * 4)))
+        block_rows = 1
+        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
+            block_rows *= 2
+    assert r % block_rows == 0, (r, block_rows)
+    grid = r // block_rows
+
+    kernel = functools.partial(_dia_kernel, offsets, block_rows, h)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec((k, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), data.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * (block_rows + 2 * h) * LANES * 4
+            + 4 * max(k, 1) * block_rows * LANES * 4 + 4 * block_rows * LANES * 4,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * r * LANES,
+            bytes_accessed=(k + 2) * r * LANES * 4,
+            transcendentals=0,
+        ),
+    )(x_padded, data)

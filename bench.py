@@ -65,7 +65,8 @@ def main():
     except Exception:
         pass
 
-    from amg_ann_tpu.amg import AMGParams, setup
+    from amg_ann_tpu.amg import AMGParams
+    from amg_ann_tpu.amg.structured_mg import setup_structured
     from amg_ann_tpu.fem import poisson_7pt
     from amg_ann_tpu.solvers import ir_solve
 
@@ -73,10 +74,12 @@ def main():
     rng = np.random.default_rng(0)
     b = a.matvec(rng.random(N**3))
 
+    # structured (PFMG-style) hierarchy: every level banded -> the whole
+    # V-cycle runs gather-free (DIA / Pallas shifts), the TPU fast path
     params = AMGParams(strong_threshold=0.25, smoother="chebyshev",
                        dtype=np.float32)
     t0 = time.perf_counter()
-    h = setup(a, params)
+    h = setup_structured(a, (N, N, N), params)
     t_setup = time.perf_counter() - t0
 
     # warm-up: compile both jitted paths

@@ -1,0 +1,96 @@
+"""Structured (PFMG-style) all-DIA multigrid: the TPU fast path."""
+
+import numpy as np
+import pytest
+
+from amg_ann_tpu.amg import AMGParams
+from amg_ann_tpu.amg.structured_mg import setup_structured
+from amg_ann_tpu.fem import diffusion_7pt, jumping_coefficient_field, poisson_7pt
+from amg_ann_tpu.fem.structured import StructuredDiffusion
+from amg_ann_tpu.solvers import amg_solve, ir_solve
+from amg_ann_tpu.sparse.dia import from_csr_dia, dia_spmv, dia_spmv_fast
+
+
+class TestDIAFormat:
+    def test_roundtrip_spmv(self, rng):
+        a = poisson_7pt(8)
+        d = from_csr_dia(a)
+        assert d is not None and len(d.offsets) == 7
+        x = rng.random(a.nrows)
+        np.testing.assert_allclose(np.asarray(dia_spmv(d, x)), a.matvec(x),
+                                   rtol=1e-12)
+
+    def test_pallas_interpret_matches(self, rng):
+        a = poisson_7pt(8, dtype=np.float32)
+        d = from_csr_dia(a)
+        x = rng.random(a.nrows).astype(np.float32)
+        y1 = np.asarray(dia_spmv_fast(d, x, interpret=True))
+        np.testing.assert_allclose(y1, a.matvec(x.astype(np.float64)),
+                                   rtol=1e-5)
+
+    def test_too_many_offsets_refused(self, rng):
+        dense = rng.random((50, 50)) * (rng.random((50, 50)) < 0.5)
+        np.fill_diagonal(dense, 5.0)
+        from amg_ann_tpu.sparse import CSR
+
+        assert from_csr_dia(CSR.from_dense(dense), max_offsets=10) is None
+
+
+class TestStructuredHierarchy:
+    def test_all_levels_banded(self):
+        a = poisson_7pt(16)
+        h = setup_structured(a, (16, 16, 16), AMGParams())
+        assert h.stats.n_levels >= 3
+        for lev in h.device.levels:
+            assert len(lev.a.offsets) <= 27
+        # galerkin correctness at level 1
+        p = h.p_mats[0]
+        expected = p.to_dense().T @ a.to_dense() @ p.to_dense()
+        np.testing.assert_allclose(h.a_mats[1].to_dense(), expected,
+                                   atol=1e-11)
+
+    def test_complexities(self):
+        a = poisson_7pt(32)
+        h = setup_structured(a, (32, 32, 32), AMGParams())
+        # 8x coarsening: grid complexity ~ 1.14
+        assert h.stats.grid_complexity < 1.25
+        assert h.stats.operator_complexity < 1.8
+
+    def test_poisson_convergence(self):
+        n = 32
+        a = poisson_7pt(n)
+        b = a.matvec(np.random.default_rng(0).random(n**3))
+        res = amg_solve(a, b, AMGParams(smoother="chebyshev"),
+                        grid_shape=(n, n, n), rtol=1e-8, tol=0.0)
+        assert res.converged
+        assert res.niters <= 25, res.niters
+        r = b - a.matvec(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+    def test_jumping_coefficients(self):
+        n = 32
+        rng = np.random.default_rng(1)
+        kappa = jumping_coefficient_field(n, 4, rng.uniform(0, 4, 64), mode=3)
+        a = diffusion_7pt(kappa)
+        b = a.matvec(rng.random(n**3))
+        res = amg_solve(a, b, AMGParams(smoother="chebyshev"),
+                        grid_shape=(n, n, n), rtol=1e-8, tol=0.0)
+        assert res.converged and res.niters <= 60, res.niters
+
+    def test_fem_q1_matrix(self):
+        """27-point Q1 FEM operator through the structured path."""
+        p = StructuredDiffusion(pattern_size=2, refinements=3, degree=1)
+        a, b, x0 = p.build()
+        n = p.n_nodes_1d
+        res = amg_solve(a, b, AMGParams(smoother="chebyshev"), x0=x0,
+                        grid_shape=(n, n, n), rtol=1e-8, tol=0.0)
+        assert res.converged and res.niters <= 30, res.niters
+
+    def test_ir_solve_structured(self):
+        n = 16
+        a = poisson_7pt(n)
+        b = a.matvec(np.random.default_rng(0).random(n**3))
+        res = ir_solve(a, b, AMGParams(smoother="chebyshev",
+                                       dtype=np.float32),
+                       grid_shape=(n, n, n), rtol=1e-8)
+        assert res.converged and res.true_res <= 1e-8
