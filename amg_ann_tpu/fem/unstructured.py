@@ -1,0 +1,386 @@
+"""Unstructured P1 tetrahedral FEM (testcase1 analog).
+
+The reference's testcase1 solves −∇·(μ∇u) = f on ten generated 3-D
+domains (Simplex, HyperBall, Cylinder, Cube, Cheese, Torus, ... —
+main.cpp:287-322) with per-COARSE-cell random diffusion μ = 10^ε,
+ε ~ U(0, max_diffusion) looked up by walking to the base-mesh ancestor
+(:245-248,323-332), manufactured tensor-product solutions from
+cube_solution with settings (sol_id, sol_freq), and — unlike tc2 — a RHS
+WITHOUT μ in the integrand (:261-263). Four DoF renumbering options
+(:179-194).
+
+Rebuilt here as genuinely unstructured P1 tets (BASELINE config 3):
+mesh generators for the simple domains, red (1→8) uniform refinement with
+ancestor tracking, fully vectorized assembly, boundary detection from
+once-only faces, and Cuthill–McKee renumbering via scipy.csgraph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..sparse.csr import CSR
+from .bc import apply_dirichlet
+from .solutions import TensorSolution
+
+
+# ---------------------------------------------------------------------------
+# mesh container + refinement
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class TetMesh:
+    vertices: np.ndarray      # (nv, 3)
+    tets: np.ndarray          # (nt, 4) int64
+    base_cell: np.ndarray     # (nt,) ancestor id in the base mesh
+
+    @property
+    def n_vertices(self):
+        return self.vertices.shape[0]
+
+    @property
+    def n_cells(self):
+        return self.tets.shape[0]
+
+    def volumes(self):
+        v = self.vertices[self.tets]
+        d = v[:, 1:] - v[:, :1]
+        return np.abs(np.linalg.det(d)) / 6.0
+
+    def boundary_vertices(self):
+        """Vertices on faces that belong to exactly one tet."""
+        t = self.tets
+        faces = np.concatenate([
+            t[:, [0, 1, 2]], t[:, [0, 1, 3]], t[:, [0, 2, 3]],
+            t[:, [1, 2, 3]],
+        ])
+        faces = np.sort(faces, axis=1)
+        _, inv, counts = np.unique(faces, axis=0, return_inverse=True,
+                                   return_counts=True)
+        boundary_faces = faces[counts[inv] == 1]
+        return np.unique(boundary_faces)
+
+
+def refine(mesh: TetMesh) -> TetMesh:
+    """Red refinement: each tet → 8 (4 corners + octahedron split)."""
+    t = mesh.tets
+    edges = np.concatenate([
+        t[:, [0, 1]], t[:, [0, 2]], t[:, [0, 3]],
+        t[:, [1, 2]], t[:, [1, 3]], t[:, [2, 3]],
+    ])
+    edges = np.sort(edges, axis=1)
+    uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+    mid = 0.5 * (mesh.vertices[uniq[:, 0]] + mesh.vertices[uniq[:, 1]])
+    nv = mesh.n_vertices
+    verts = np.concatenate([mesh.vertices, mid])
+
+    nt = mesh.n_cells
+    e = inv.reshape(6, nt).T + nv   # midpoint ids: e01,e02,e03,e12,e13,e23
+    v0, v1, v2, v3 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    e01, e02, e03, e12, e13, e23 = (e[:, i] for i in range(6))
+    corner = [
+        (v0, e01, e02, e03), (v1, e01, e12, e13),
+        (v2, e02, e12, e23), (v3, e03, e13, e23),
+    ]
+    # Interior octahedron: split along the SHORTEST of the three diagonals
+    # (e01–e23, e02–e13, e03–e12). A fixed choice degrades element quality
+    # geometrically under repeated refinement (observed: L2 interpolation
+    # order collapses toward 1); the shortest-diagonal rule keeps the
+    # family shape-regular.
+    d0 = np.linalg.norm(verts[e01] - verts[e23], axis=1)
+    d1 = np.linalg.norm(verts[e02] - verts[e13], axis=1)
+    d2 = np.linalg.norm(verts[e03] - verts[e12], axis=1)
+    choice = np.argmin(np.stack([d0, d1, d2]), axis=0)
+    # four octa children per diagonal choice: (diagA, diagB, equator pair)
+    octa_cases = [
+        [(e01, e23, e02, e03), (e01, e23, e03, e13),
+         (e01, e23, e13, e12), (e01, e23, e12, e02)],
+        [(e02, e13, e01, e03), (e02, e13, e03, e23),
+         (e02, e13, e23, e12), (e02, e13, e12, e01)],
+        [(e03, e12, e01, e02), (e03, e12, e02, e23),
+         (e03, e12, e23, e13), (e03, e12, e13, e01)],
+    ]
+    octa = []
+    for j in range(4):
+        stacked = np.stack(
+            [np.stack(octa_cases[c][j], axis=1) for c in range(3)])
+        octa.append(stacked[choice, np.arange(nt)])
+    children = [np.stack(c, axis=1) for c in corner] + octa
+    new_tets = np.concatenate(children)
+    new_base = np.tile(mesh.base_cell, 8)
+    return TetMesh(verts, new_tets.astype(np.int64), new_base)
+
+
+# ---------------------------------------------------------------------------
+# generators
+# ---------------------------------------------------------------------------
+_KUHN = [(0, 1, 3, 7), (0, 1, 5, 7), (0, 2, 3, 7),
+         (0, 2, 6, 7), (0, 4, 5, 7), (0, 4, 6, 7)]
+
+
+def _cube_mesh(m: int) -> TetMesh:
+    """[-1,1]³ split into m³ hexes, 6 Kuhn tets each."""
+    g = np.linspace(-1.0, 1.0, m + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+    vid = np.arange((m + 1) ** 3).reshape(m + 1, m + 1, m + 1)
+    c = np.arange(m)
+    cx, cy, cz = np.meshgrid(c, c, c, indexing="ij")
+    corner = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner.append(vid[cx + dx, cy + dy, cz + dz].ravel())
+    corner = np.stack(corner, axis=1)  # (m³, 8) in (dx,dy,dz) binary order
+    tets = np.concatenate([corner[:, list(k)] for k in _KUHN])
+    base = np.tile(np.arange(m ** 3), 6)
+    return TetMesh(verts, tets.astype(np.int64), base)
+
+
+def _ball_mesh(m: int) -> TetMesh:
+    """Unit ball: cube mesh radially mapped (‖·‖∞ → ‖·‖₂ blending)."""
+    mesh = _cube_mesh(m)
+    v = mesh.vertices
+    linf = np.abs(v).max(axis=1)
+    l2 = np.linalg.norm(v, axis=1)
+    scale = np.where(l2 > 0, linf / np.where(l2 == 0, 1, l2), 1.0)
+    return TetMesh(v * scale[:, None], mesh.tets, mesh.base_cell)
+
+
+def _cylinder_mesh(m: int) -> TetMesh:
+    """Cylinder radius 1, height 2: disk-map x,y; z unchanged."""
+    mesh = _cube_mesh(m)
+    v = mesh.vertices.copy()
+    xy = v[:, :2]
+    linf = np.abs(xy).max(axis=1)
+    l2 = np.linalg.norm(xy, axis=1)
+    scale = np.where(l2 > 0, linf / np.where(l2 == 0, 1, l2), 1.0)
+    v[:, :2] = xy * scale[:, None]
+    return TetMesh(v, mesh.tets, mesh.base_cell)
+
+
+def _simplex_mesh() -> TetMesh:
+    verts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    return TetMesh(verts, np.array([[0, 1, 2, 3]], dtype=np.int64),
+                   np.zeros(1, dtype=np.int64))
+
+
+def _cheese_mesh(m: int) -> TetMesh:
+    """Cube with a periodic pattern of spherical holes (tets removed)."""
+    mesh = _cube_mesh(m)
+    cent = mesh.vertices[mesh.tets].mean(axis=1)
+    # holes of radius 0.22 at a 2×2×2 lattice of centers ±0.5
+    holes = np.array([[sx, sy, sz] for sx in (-0.5, 0.5)
+                      for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)])
+    keep = np.ones(mesh.n_cells, dtype=bool)
+    for hc in holes:
+        keep &= np.linalg.norm(cent - hc, axis=1) > 0.22
+    tets = mesh.tets[keep]
+    base = mesh.base_cell[keep]
+    used = np.unique(tets)
+    remap = -np.ones(mesh.n_vertices, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    return TetMesh(mesh.vertices[used], remap[tets], base)
+
+
+def _torus_mesh(nmaj: int, nmin: int, R: float = 2.0, r: float = 0.5):
+    """Solid torus: (θ major) × (square cross-section disk-mapped)."""
+    g = np.linspace(-1.0, 1.0, nmin + 1)
+    th = np.arange(nmaj) * (2 * np.pi / nmaj)
+    # cross-section vertex grid disk-mapped to radius r
+    U, V = np.meshgrid(g, g, indexing="ij")
+    linf = np.maximum(np.abs(U), np.abs(V))
+    l2 = np.sqrt(U**2 + V**2)
+    s = np.where(l2 > 0, linf / np.where(l2 == 0, 1, l2), 1.0)
+    u, v = (U * s * r).ravel(), (V * s * r).ravel()
+    ncs = (nmin + 1) ** 2
+    verts = []
+    for t in th:
+        rad = R + u
+        verts.append(np.stack([rad * np.cos(t), rad * np.sin(t),
+                               v], axis=-1))
+    verts = np.concatenate(verts)
+    vid = np.arange(nmaj * ncs).reshape(nmaj, nmin + 1, nmin + 1)
+    vid = np.concatenate([vid, vid[:1]])   # wrap θ
+    c = np.arange(nmin)
+    cu, cv = np.meshgrid(c, c, indexing="ij")
+    corner = []
+    for dt in (0, 1):
+        for du in (0, 1):
+            for dv in (0, 1):
+                block = vid[np.arange(nmaj)[:, None, None] + dt,
+                            cu[None] + du, cv[None] + dv]
+                corner.append(block.ravel())
+    corner = np.stack(corner, axis=1)
+    tets = np.concatenate([corner[:, list(k)] for k in _KUHN])
+    base = np.tile(np.arange(nmaj * nmin**2), 6)
+    return TetMesh(verts, tets.astype(np.int64), base)
+
+
+MESH_GENERATORS = {
+    "Cube": lambda: _cube_mesh(4),
+    "Simplex": lambda: _simplex_mesh(),
+    "HyperBall": lambda: _ball_mesh(4),
+    "Cylinder": lambda: _cylinder_mesh(4),
+    "Cheese": lambda: _cheese_mesh(8),
+    "Torus": lambda: _torus_mesh(12, 4),
+}
+
+
+def _keast_degree5():
+    """Keast 14-point degree-5 rule on the reference tet.
+
+    Returns (barycentric coords (14, 4), weights (14,) summing to 1)."""
+    a = 0.31088591926330050
+    b = 0.09273525031089123
+    c = 0.04550370412564965
+    wa = 0.11268792571801585
+    wb = 0.07349304311636196
+    wc = 0.04254602077708147
+    pts, w = [], []
+    for (lam, wt) in ((a, wa), (b, wb)):
+        rest = 1.0 - 3.0 * lam
+        for i in range(4):
+            p = [lam] * 4
+            p[i] = rest
+            pts.append(p)
+            w.append(wt)
+    half = 0.5 - c
+    import itertools as it
+
+    seen = set()
+    for perm in it.permutations([c, c, half, half]):
+        if perm not in seen:
+            seen.add(perm)
+            pts.append(list(perm))
+            w.append(wc)
+    pts = np.asarray(pts)
+    w = np.asarray(w)
+    assert pts.shape == (14, 4) and abs(w.sum() - 1.0) < 1e-12
+    return pts, w
+
+
+# ---------------------------------------------------------------------------
+# problem
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class UnstructuredDiffusion:
+    mesh: str = "Cube"
+    refinements: int = 1
+    sol_id: int = 0
+    freq: float = np.pi
+    seed: int = 0
+    max_diffusion: float = 3.0
+    renumbering: str = "none"   # none | cuthill_mckee
+
+    def __post_init__(self):
+        if self.mesh not in MESH_GENERATORS:
+            raise ValueError(
+                f"unknown mesh {self.mesh!r}; one of {list(MESH_GENERATORS)}")
+        base = MESH_GENERATORS[self.mesh]()
+        self.n_base_cells = base.n_cells
+        m = base
+        for _ in range(self.refinements):
+            m = refine(m)
+        self._mesh = m
+        rng = np.random.default_rng(self.seed)
+        self.eps = rng.uniform(0.0, self.max_diffusion, self.n_base_cells)
+        self._perm = None
+
+    @property
+    def tet_mesh(self) -> TetMesh:
+        return self._mesh
+
+    @property
+    def ndof(self):
+        return self._mesh.n_vertices
+
+    def mu_cells(self):
+        """μ = 10^ε of the base-mesh ancestor (main.cpp:245-248 lookup)."""
+        return 10.0 ** self.eps[self._mesh.base_cell]
+
+    def exact(self) -> TensorSolution:
+        return TensorSolution(self.sol_id, self.freq)
+
+    def _permutation(self, a: CSR):
+        if self.renumbering == "none":
+            return None
+        if self.renumbering == "cuthill_mckee":
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            g = sp.csr_matrix((np.ones_like(a.data), a.indices, a.indptr),
+                              shape=a.shape)
+            return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
+        raise ValueError(f"unknown renumbering {self.renumbering!r}")
+
+    def build(self, eliminate_columns: bool = True):
+        mesh = self._mesh
+        v = mesh.vertices[mesh.tets]              # (nt, 4, 3)
+        d = v[:, 1:] - v[:, :1]                   # (nt, 3, 3) edge matrix
+        vol = np.abs(np.linalg.det(d)) / 6.0
+        # barycentric gradients: with edge matrix D (rows v_j − v_0),
+        # λ = D⁻ᵀ (x − v_0) ⇒ row j of D⁻ᵀ is ∇λ_{j+1}; ∇λ_0 = −Σ_j ∇λ_j
+        g123 = np.linalg.inv(np.swapaxes(d, 1, 2))  # (nt, 3, 3)
+        g0 = -g123.sum(axis=1, keepdims=True)
+        grads = np.concatenate([g0, g123], axis=1)  # (nt, 4, 3)
+
+        mu = self.mu_cells()
+        ke = (mu * vol)[:, None, None] * np.einsum(
+            "tid,tjd->tij", grads, grads)
+
+        t = mesh.tets
+        rows = np.repeat(t, 4, axis=1).reshape(-1)
+        cols = np.tile(t, (1, 4)).reshape(-1)
+        a = CSR.from_coo(rows, cols, ke.reshape(-1),
+                         (self.ndof, self.ndof))
+
+        # RHS: 4-point (degree-2) rule; NO μ in the integrand (tc1 parity,
+        # main.cpp:261-263)
+        ex = self.exact()
+        alpha, beta = 0.5854101966249685, 0.1381966011250105
+        qp_bary = np.full((4, 4), beta)
+        np.fill_diagonal(qp_bary, alpha)
+        pts = np.einsum("qa,tad->tqd", qp_bary, v)   # (nt, 4, 3)
+        f = ex.rhs(pts)                              # (nt, 4)
+        phi = qp_bary                                # φ_a at q = bary coords
+        be = np.einsum("tq,qa->ta", f, phi) * (vol / 4.0)[:, None]
+        b = np.bincount(t.reshape(-1), weights=be.reshape(-1),
+                        minlength=self.ndof)
+
+        bidx = mesh.boundary_vertices()
+        bvals = ex.value(mesh.vertices[bidx])
+        a, b, x0 = apply_dirichlet(a, b, bidx, bvals,
+                                   eliminate_columns=eliminate_columns)
+
+        perm = self._permutation(a)
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            rows, cols, vals = a.row_expand()
+            a = CSR.from_coo(inv[rows], inv[cols], vals, a.shape)
+            b = b[perm]
+            x0 = x0[perm]
+            self._perm = perm
+        return a, b, x0
+
+    def compute_l2_error(self, u: np.ndarray) -> float:
+        """L2 error by the degree-5 Keast 14-point rule — a degree-2 rule
+        cannot measure an O(h²) error functional (its quadrature error is
+        the same order as the quantity itself)."""
+        if self._perm is not None:
+            # solution is in renumbered ordering; map back to vertex order:
+            # new = inv[old] in build(), so u_vertex = u[inv]
+            inv = np.empty_like(self._perm)
+            inv[self._perm] = np.arange(self._perm.size)
+            u = u[inv]
+        mesh = self._mesh
+        v = mesh.vertices[mesh.tets]
+        vol = mesh.volumes()
+        qp_bary, qw = _keast_degree5()
+        pts = np.einsum("qa,tad->tqd", qp_bary, v)
+        u_ex = self.exact().value(pts)
+        u_h = np.einsum("qa,ta->tq", qp_bary, u[mesh.tets])
+        return float(np.sqrt(np.sum((u_h - u_ex) ** 2
+                                    * vol[:, None] * qw[None, :])))

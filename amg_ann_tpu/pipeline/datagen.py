@@ -1,17 +1,21 @@
-"""Data-generation sweep harness → reference-schema stats CSVs.
+"""Data-generation sweep harness → reference-schema stats CSVs (all apps).
 
-Functional analog of the reference's L2–L4 stack (per-app C++ binaries +
-00_data-generation.py): for each problem configuration, assemble the FEM
-system once, then sweep θ × max_row_sum × symmetric_operator, running
-`amg_solve` per combination (the reference re-initializes BoomerAMG per
-combination, testcase2 main.cpp:443-466) and appending one CSV row per
-solve in the exact reference schema (main.cpp:404-416):
+Functional analog of the reference's L2–L4 stack (four C++ testcase
+binaries + 00_data-generation.py): for each configuration, assemble the
+FEM system once per cycle, then sweep θ × max_row_sum × symmetric_operator
+running `amg_solve` per combination (the reference re-initializes
+BoomerAMG per combination, testcase2 main.cpp:443-466), appending one CSV
+row per solve in the app's exact schema:
 
-  sweep:   setting,dim,ndof,mesh_ref,degree,sol_id,sol_pattern_size,epsv,
-           mode,timestamp,theta,maxrowsum,symop,tol,t_amg_setup,
-           [nrows,nze,sparsity,grid,operator,memory,]t_solve,niters,p_res
-  pooling: ...,timestamp,t_view,view_size,view,view_count,view_max_pp,
-           view_max_np
+  tc2  (main.cpp:404-416):  setting,dim,ndof,mesh_ref,degree,sol_id,
+       sol_pattern_size,epsv,mode,timestamp,θ-sweep-or-view columns
+  tc1  (main.cpp:450-459):  setting,dim,ndof,mesh_ref,degree,sol_id,freq,
+       mesh,renumbering,seed,maxdiff,num_bas_ref,timestamp,…(+naggr)
+  tc3  (main.cpp:421-432):  setting,dim,ndof,mesh_ref,degree,seed,mode,
+       pattern_size,max_young,sharp,renumbering,timestamp,…
+       (+aggressive_lvls)
+  tc2.1 (main.cpp:278-380): timestamp-first rows; three solver modes —
+       0 = extremal eigenvalues, 1 = θ sweep 0.05..0.95/0.0125, 2 = view.
 
 Vector-valued fields are quoted comma-joined strings (myutils.h:69-83);
 floats use %.17e like the C++ `setprecision(17)` stream. Times are µs.
@@ -26,9 +30,13 @@ import time
 import numpy as np
 
 from ..amg.hierarchy import AMGParams
-from ..fem.structured import StructuredDiffusion
 from ..solvers.amg_solver import amg_solve
 from ..view.pooling import make_view
+
+APP_TC1 = "testcase1-diffusion-unstructured"
+APP_TC2 = "testcase2-diffusion-structured"
+APP_TC21 = "testcase2.1-diffusion-singlecell"
+APP_TC3 = "testcase3-linear-elasticity"
 
 
 def _qjoin(v, fmt="{:.17e}"):
@@ -45,16 +53,13 @@ def _f(x):
 class SweepConfig:
     """One run configuration (the reference's per-run settings JSON)."""
 
-    pattern_size: int = 2
-    refinements: int = 2
-    degree: int = 1
-    mode: int = 3
-    epsv: tuple = ()
+    app: str = APP_TC2
+    problem: dict = dataclasses.field(default_factory=dict)
     tol: float = 1e-8
-    # θ sweep triple (start, stop, step) — testcase2 settings.cpp:14-20
     strong_threshold: tuple = (0.05, 0.96, 0.05)
     max_row_sum: tuple = (0.9, 0.9, 0.05)
     symmetric_operator: tuple = (1, 1)
+    aggressive_levels: int = 0          # tc3 uses 2 (main.cpp:454-464)
     make_view: bool = False
     view_size: int = 75
     output_setup_details: bool = False
@@ -62,15 +67,113 @@ class SweepConfig:
     setting_name: str = "config"
     smoother: str = "l1jacobi"
     rtol_mode: bool = False  # True: treat tol as relative (TPU f32 runs)
+    solver_mode: int = 1     # tc2.1 only: 0 eigen / 1 sweep / 2 view
 
 
-SWEEP_HEADER = ("setting,dim,ndof,mesh_ref,degree,sol_id,sol_pattern_size,"
-                "epsv,mode,timestamp,theta,maxrowsum,symop,tol,t_amg_setup,")
+# ---------------------------------------------------------------------------
+# per-app adapters: build problem + CSV prefix for a given cycle
+# ---------------------------------------------------------------------------
+def _build_tc2(cfg, cycle):
+    from ..fem.structured import StructuredDiffusion
+
+    kw = dict(cfg.problem)
+    base_ref = kw.pop("refinements", 2)
+    p = StructuredDiffusion(refinements=base_ref + cycle, **kw)
+    a, b, x0 = p.build()
+    prefix = ",".join([
+        cfg.setting_name, "3", str(p.ndof), str(base_ref + cycle),
+        str(p.degree), str(p.sol_id), str(p.pattern_size),
+        _qjoin(list(map(float, p.epsv))), str(p.mode),
+        str(int(time.time())),
+    ])
+    return a, b, x0, prefix
+
+
+def _build_tc1(cfg, cycle):
+    from ..fem.unstructured import UnstructuredDiffusion
+
+    kw = dict(cfg.problem)
+    base_ref = kw.pop("refinements", 1)
+    num_bas_ref = kw.pop("num_bas_ref", 0)
+    p = UnstructuredDiffusion(refinements=base_ref + cycle, **kw)
+    a, b, x0 = p.build()
+    prefix = ",".join([
+        cfg.setting_name, "3", str(p.ndof), str(base_ref + cycle),
+        "1", str(p.sol_id), _f(float(p.freq)), p.mesh, p.renumbering,
+        str(p.seed), _f(float(p.max_diffusion)), str(num_bas_ref),
+        str(int(time.time())),
+    ])
+    return a, b, x0, prefix
+
+
+def _build_tc3(cfg, cycle):
+    from ..fem.elasticity import LinearElasticity
+
+    kw = dict(cfg.problem)
+    base_ref = kw.pop("refinements", 1)
+    p = LinearElasticity(refinements=base_ref + cycle, **kw)
+    a, b, x0 = p.build()
+    prefix = ",".join([
+        cfg.setting_name, "3", str(p.ndof), str(base_ref + cycle),
+        str(p.degree), str(p.seed), str(p.mode), str(p.pattern_size),
+        _f(float(p.max_young)), str(int(p.sharp)), "0",
+        str(int(time.time())),
+    ])
+    return a, b, x0, prefix
+
+
+def _build_tc21(cfg, cycle):
+    from ..fem.singlecell import SingleCellDiffusion
+
+    kw = dict(cfg.problem)
+    base_ref = kw.pop("num_ref", 3)
+    p = SingleCellDiffusion(num_ref=base_ref + cycle, **kw)
+    a, b, x0 = p.build()
+    # tc2.1 rows are timestamp-FIRST (main.cpp:307-380)
+    prefix = ",".join([
+        str(int(time.time())), cfg.setting_name, "3", str(p.ndof),
+        str(base_ref + cycle), str(p.degree), "0",
+        _f(float(p.diffusion_exp)),
+        _qjoin(list(map(float, p.marked_point))),
+    ])
+    return a, b, x0, prefix
+
+
+_BUILDERS = {APP_TC1: _build_tc1, APP_TC2: _build_tc2,
+             APP_TC21: _build_tc21, APP_TC3: _build_tc3}
+
+_PREFIX_HEADERS = {
+    APP_TC1: ("setting,dim,ndof,mesh_ref,degree,sol_id,freq,mesh,"
+              "renumbering,seed,maxdiff,num_bas_ref,timestamp,"),
+    APP_TC2: ("setting,dim,ndof,mesh_ref,degree,sol_id,sol_pattern_size,"
+              "epsv,mode,timestamp,"),
+    APP_TC21: ("timestamp,setting,dim,ndof,mesh_ref,degree,renumbering,"
+               "diff,mpt,"),
+    APP_TC3: ("setting,dim,ndof,mesh_ref,degree,seed,mode,pattern_size,"
+              "max_young,sharp,renumbering,timestamp,"),
+}
+# apps whose sweep rows carry the aggressive-coarsening column
+_NAGGR_COLUMN = {APP_TC1: "naggr,", APP_TC3: "aggressive_lvls,",
+                 APP_TC21: "agg_lvls,", APP_TC2: ""}
+
 SWEEP_DETAILS = "nrows,nze,sparsity,grid,operator,memory,"
-SWEEP_TAIL = "t_solve,niters,p_res\n"
-VIEW_HEADER = ("setting,dim,ndof,mesh_ref,degree,sol_id,sol_pattern_size,"
-               "epsv,mode,timestamp,t_view,view_size,view,view_count,"
-               "view_max_pp,view_max_np\n")
+VIEW_TAIL = "t_view,view_size,view,view_count,view_max_pp,view_max_np\n"
+EIGEN_TAIL = "toll,solver,min,max,amin,amax\n"
+
+
+def _sweep_header(cfg: SweepConfig) -> str:
+    if cfg.app == APP_TC21:
+        # tc2.1's abbreviated column names (main.cpp:334-338)
+        return (_PREFIX_HEADERS[cfg.app]
+                + "theta,mrs,sym,agg_lvls,tol,t_setup,"
+                + ("nrows,nze,spa,grid,op,mem," if cfg.output_setup_details
+                   else "")
+                + "t_solve,it,res\n")
+    return (_PREFIX_HEADERS[cfg.app]
+            + "theta,maxrowsum,symop," + _NAGGR_COLUMN[cfg.app] + "tol,"
+            + "t_amg_setup,"
+            + (SWEEP_DETAILS if cfg.output_setup_details else "")
+            + "t_solve,niters,p_res\n")
 
 
 def _sweep_values(triple):
@@ -88,34 +191,24 @@ def _sweep_values(triple):
 
 def run_config(cfg: SweepConfig, out_path: str) -> str:
     """Execute one configuration, appending rows to out_path (created with
-    header if absent). Returns the path."""
+    the app's header if absent). Returns the path."""
     new = not os.path.exists(out_path)
-    problem = StructuredDiffusion(
-        pattern_size=cfg.pattern_size, refinements=cfg.refinements,
-        degree=cfg.degree, mode=cfg.mode,
-        epsv=np.asarray(cfg.epsv) if len(cfg.epsv) else None)
-
+    builder = _BUILDERS[cfg.app]
     with open(out_path, "a") as fh:
         if new:
-            if cfg.make_view:
-                fh.write(VIEW_HEADER)
+            if cfg.app == APP_TC21 and cfg.solver_mode == 0:
+                fh.write(_PREFIX_HEADERS[cfg.app] + EIGEN_TAIL)
+            elif cfg.make_view or (cfg.app == APP_TC21
+                                   and cfg.solver_mode == 2):
+                fh.write(_PREFIX_HEADERS[cfg.app] + VIEW_TAIL)
             else:
-                fh.write(SWEEP_HEADER
-                         + (SWEEP_DETAILS if cfg.output_setup_details else "")
-                         + SWEEP_TAIL)
+                fh.write(_sweep_header(cfg))
         for cycle in range(cfg.cycles):
-            prob_c = StructuredDiffusion(
-                pattern_size=cfg.pattern_size,
-                refinements=cfg.refinements + cycle, degree=cfg.degree,
-                mode=cfg.mode, epsv=problem.epsv)
-            a, b, x0 = prob_c.build()
-            prefix = ",".join([
-                cfg.setting_name, "3", str(prob_c.ndof),
-                str(cfg.refinements + cycle), str(cfg.degree),
-                str(prob_c.sol_id), str(cfg.pattern_size),
-                _qjoin(list(map(float, prob_c.epsv))), str(cfg.mode),
-            ])
-            if cfg.make_view:
+            a, b, x0, prefix = builder(cfg, cycle)
+            if cfg.app == APP_TC21 and cfg.solver_mode == 0:
+                _write_eigen_rows(fh, prefix, a, cfg)
+            elif cfg.make_view or (cfg.app == APP_TC21
+                                   and cfg.solver_mode == 2):
                 _write_view_row(fh, prefix, a, cfg.view_size)
             else:
                 _write_sweep_rows(fh, prefix, a, b, x0, cfg)
@@ -124,14 +217,33 @@ def run_config(cfg: SweepConfig, out_path: str) -> str:
 
 def _write_view_row(fh, prefix, a, view_size):
     view, t_us = make_view(a, view_size)
-    fh.write(prefix + f",{int(time.time())},{int(t_us)},{view_size},")
+    fh.write(prefix + f",{int(t_us)},{view_size},")
     fh.write(_qjoin(view.sum.ravel().tolist()) + ",")
     fh.write(_qjoin(view.count.ravel().tolist(), fmt="{}") + ",")
     fh.write(_qjoin(view.max_pp.ravel().tolist()) + ",")
     fh.write(_qjoin(view.max_np.ravel().tolist()) + "\n")
 
 
+def _write_eigen_rows(fh, prefix, a, cfg: SweepConfig):
+    """tc2.1 mode-0 parity: per 'solver', the four extremal requests
+    (SMALLEST_REAL, LARGEST_REAL, SMALLEST_MAGNITUDE ×2 — the reference
+    literally queries smallest-magnitude twice, main.cpp:319-321; we report
+    |λ|min and |λ|max as the honest amin/amax)."""
+    from ..solvers.eigen import dense_extremal, lanczos_extremal
+
+    solvers = [lambda: lanczos_extremal(a, m=min(100, a.nrows)),
+               lambda: lanczos_extremal(a, m=min(200, a.nrows))]
+    if a.nrows <= 2048:
+        solvers.append(lambda: dense_extremal(a))
+    for i, sv in enumerate(solvers):
+        eig = sv()
+        fh.write(prefix + "," + ",".join([
+            _f(cfg.tol), str(i), _f(eig.lam_min), _f(eig.lam_max),
+            _f(eig.lam_abs_min), _f(eig.lam_abs_max)]) + "\n")
+
+
 def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
+    naggr = cfg.aggressive_levels
     for theta in _sweep_values(cfg.strong_threshold):
         for mrs in _sweep_values(cfg.max_row_sum):
             for sym in range(int(cfg.symmetric_operator[0]),
@@ -139,13 +251,16 @@ def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
                 params = AMGParams(
                     symmetric_operator=bool(sym), strong_threshold=theta,
                     max_row_sum=mrs,
+                    aggressive_coarsening_num_levels=naggr,
                     output_details=cfg.output_setup_details,
                     smoother=cfg.smoother)
                 tol_kw = ({"rtol": cfg.tol, "tol": 0.0} if cfg.rtol_mode
                           else {"tol": cfg.tol})
                 res = amg_solve(a, b, params, x0=x0, **tol_kw)
-                fields = [prefix, str(int(time.time())), _f(theta), _f(mrs),
-                          str(sym), _f(cfg.tol), _f(res.t_amg_setup)]
+                fields = [prefix, _f(theta), _f(mrs), str(sym)]
+                if _NAGGR_COLUMN[cfg.app]:
+                    fields.append(str(naggr))
+                fields += [_f(cfg.tol), _f(res.t_amg_setup)]
                 if cfg.output_setup_details:
                     fields += res.hierarchy.stats.as_csv_fields()
                 fields += [_f(res.t_solve), str(res.niters),

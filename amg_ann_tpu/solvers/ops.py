@@ -21,10 +21,16 @@ def _on_tpu() -> bool:
         return False
 
 
+# Use the Pallas kernel only where it pays: large levels. Small levels are
+# latency-bound either way, and every distinct (K, R) shape costs a separate
+# kernel compilation (minutes through this image's remote-compile tunnel).
+PALLAS_MIN_ROWS = 100_000
+
+
 def op_matvec(op, x):
     """y = op @ x for ELL or DIA operands."""
     if isinstance(op, DIA):
-        if _on_tpu() and op.cols == 128:
+        if _on_tpu() and op.cols == 128 and op.n >= PALLAS_MIN_ROWS:
             return dia_spmv_fast(op, x)
         return dia_spmv(op, x)
     if isinstance(op, ELL):

@@ -19,6 +19,7 @@ Converges to f64-level residuals as long as κ(A)·ε_f32 < 1 per sweep.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import numpy as np
@@ -83,34 +84,56 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
     if norm_b == 0.0:
         norm_b = 1.0
 
-    spmv_hi = jax.jit(op_matvec)
     a32 = hierarchy.device.levels[0].a
 
     t0 = time.perf_counter()
-    x = jnp.zeros_like(b_hi)
-    hist = []
-    inner_total = 0
-    converged = False
-    for outer in range(max_outer):
-        r = b_hi - spmv_hi(a_hi, x)
-        rel = float(jnp.linalg.norm(r)) / norm_b
-        hist.append(rel)
-        if rel <= rtol:
-            converged = True
-            break
-        res = _jit_solve(hierarchy.device, a32,
-                         r.astype(jnp.float32),
-                         jnp.zeros(r.shape, dtype=jnp.float32),
-                         jnp.float32(0.0), jnp.float32(inner_rtol),
-                         inner_maxiter)
-        inner_total += int(res.niters)
-        x = x + res.x.astype(hi_dtype)
-    x.block_until_ready()
+    x, hist_dev, outers, inners = _ir_device(
+        hierarchy.device, a32, a_hi, b_hi,
+        jnp.asarray(rtol, hi_dtype), jnp.float32(inner_rtol),
+        max_outer, inner_maxiter)
+    # single host sync at the end — the whole refinement ran on device
+    x = np.asarray(x)
     t_solve = (time.perf_counter() - t0) * 1e6
 
+    outers = int(outers)
+    hist = np.asarray(hist_dev)[: outers + 1] / norm_b
     return IRResult(
-        x=np.asarray(x), outer_iters=len(hist) - 1,
-        inner_iters=inner_total, true_res=hist[-1],
-        res_history=np.asarray(hist), converged=converged,
+        x=x, outer_iters=outers,
+        inner_iters=int(inners), true_res=float(hist[-1]),
+        res_history=hist, converged=bool(hist[-1] <= rtol),
         t_setup=t_setup, t_solve=t_solve, hierarchy=hierarchy,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer", "inner_maxiter"))
+def _ir_device(device_h, a32, a_hi, b_hi, rtol, inner_rtol, max_outer,
+               inner_maxiter):
+    """The whole iterative refinement as ONE device computation: outer
+    Richardson in high precision around the f32 AMG-PCG while_loop."""
+    from .ops import op_matvec
+
+    hi = b_hi.dtype
+    norm_b = jnp.linalg.norm(b_hi)
+    norm_b = jnp.where(norm_b == 0, 1.0, norm_b)
+    hist = jnp.full(max_outer + 1, jnp.nan, dtype=hi)
+    r0 = b_hi
+    hist = hist.at[0].set(jnp.linalg.norm(r0))
+
+    def cond(state):
+        x, r, k, inner, h = state
+        return (jnp.linalg.norm(r) > rtol * norm_b) & (k < max_outer)
+
+    def body(state):
+        x, r, k, inner, h = state
+        res = _jit_solve(device_h, a32, r.astype(jnp.float32),
+                         jnp.zeros(r.shape, dtype=jnp.float32),
+                         jnp.float32(0.0), inner_rtol, inner_maxiter)
+        x = x + res.x.astype(hi)
+        r = b_hi - op_matvec(a_hi, x)
+        h = h.at[k + 1].set(jnp.linalg.norm(r))
+        return x, r, k + 1, inner + res.niters, h
+
+    x0 = jnp.zeros_like(b_hi)
+    x, r, k, inner, hist = jax.lax.while_loop(
+        cond, body, (x0, r0, jnp.int32(0), jnp.int32(0), hist))
+    return x, hist, k, inner

@@ -76,8 +76,11 @@ def main():
 
     # structured (PFMG-style) hierarchy: every level banded -> the whole
     # V-cycle runs gather-free (DIA / Pallas shifts), the TPU fast path
+    # max_coarse_size 2048: fewer levels = much smaller compile surface
+    # (matters through the remote-compile tunnel); the 2048² dense coarse
+    # solve is one MXU matmul.
     params = AMGParams(strong_threshold=0.25, smoother="chebyshev",
-                       dtype=np.float32)
+                       dtype=np.float32, max_coarse_size=2048)
     t0 = time.perf_counter()
     h = setup_structured(a, (N, N, N), params)
     t_setup = time.perf_counter() - t0

@@ -25,8 +25,8 @@ def sweep_csv(tmp_path_factory):
     out = tmp_path_factory.mktemp("data")
     rng = np.random.default_rng(0)
     configs = [
-        SweepConfig(pattern_size=2, refinements=2, mode=3,
-                    epsv=tuple(rng.uniform(0, 3, 8)),
+        SweepConfig(problem=dict(pattern_size=2, refinements=2, mode=3,
+                                 epsv=tuple(rng.uniform(0, 3, 8))),
                     strong_threshold=(0.1, 0.91, 0.1),
                     rtol_mode=True, setting_name=f"cfg{i}")
         for i in range(2)
@@ -171,3 +171,68 @@ class TestEvaluate:
         # σ̄ = 0 rejects every prediction → all gains zero
         s0 = get_summary_perf(perf, sigma_bar=0.0)
         assert s0["mean_gain"] == 0.0
+
+
+class TestMultiAppDatagen:
+    def test_all_four_apps_produce_rows(self, tmp_path):
+        from amg_ann_tpu.pipeline import (
+            APP_TC1, APP_TC21, APP_TC3, generate_dataset,
+        )
+
+        cfgs = [
+            SweepConfig(app=APP_TC1,
+                        problem=dict(mesh="Cube", refinements=1, seed=0,
+                                     max_diffusion=1.0, freq=np.pi / 2),
+                        strong_threshold=(0.3, 0.61, 0.3), rtol_mode=True,
+                        setting_name="t1"),
+            SweepConfig(app=APP_TC3,
+                        problem=dict(pattern_size=2, refinements=1, seed=0,
+                                     max_young=1.0),
+                        strong_threshold=(0.3, 0.61, 0.3),
+                        aggressive_levels=2, rtol_mode=True,
+                        setting_name="t3"),
+            SweepConfig(app=APP_TC21,
+                        problem=dict(num_ref=2, diffusion_exp=2.0,
+                                     marked_point=(0.0, 0.0, 0.0)),
+                        strong_threshold=(0.3, 0.61, 0.3), rtol_mode=True,
+                        setting_name="t21"),
+        ]
+        for cfg in cfgs:
+            out = tmp_path / cfg.app
+            csv = generate_dataset([cfg], str(out))
+            df = pd.read_csv(csv)
+            assert len(df) == 2, cfg.app  # 2 theta values
+            assert df["theta"].nunique() == 2
+            if cfg.app == APP_TC3:
+                assert "aggressive_lvls" in df.columns
+                assert (df["aggressive_lvls"] == 2).all()
+            if cfg.app == APP_TC1:
+                assert "naggr" in df.columns and "mesh" in df.columns
+
+    def test_tc21_eigen_mode(self, tmp_path):
+        from amg_ann_tpu.pipeline import APP_TC21, generate_dataset
+
+        cfg = SweepConfig(app=APP_TC21, solver_mode=0,
+                          problem=dict(num_ref=2, diffusion_exp=3.0,
+                                       marked_point=(0.0, 0.0, 0.0)),
+                          setting_name="eig")
+        csv = generate_dataset([cfg], str(tmp_path))
+        df = pd.read_csv(csv)
+        assert {"solver", "min", "max", "amin", "amax"} <= set(df.columns)
+        assert len(df) >= 2
+        # SPD matrix: all eigenvalue columns positive; solvers agree on max
+        assert (df["min"] > 0).all()
+        mx = df["max"].to_numpy()
+        assert abs(mx[0] - mx[-1]) / mx[0] < 1e-4
+
+    def test_config_generators(self):
+        from amg_ann_tpu.pipeline import (
+            tc1_configs, tc21_configs, tc2_configs, tc3_configs,
+        )
+
+        assert len(tc2_configs(n_seeds=2)) == 3 * 2
+        assert len(tc1_configs(n_seeds=1)) == 3 * 1 * 2
+        assert len(tc21_configs()) == 3 * 5 * 3
+        assert len(tc3_configs()) == 2 * 1 * 2 * 2 * 2
+        for c in tc3_configs():
+            assert c.aggressive_levels == 2

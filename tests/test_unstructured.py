@@ -1,0 +1,90 @@
+"""testcase1 analog: unstructured P1 tet FEM on generated domains."""
+
+import numpy as np
+import pytest
+
+from amg_ann_tpu.amg import AMGParams
+from amg_ann_tpu.fem.structured import compute_order
+from amg_ann_tpu.fem.unstructured import (
+    MESH_GENERATORS, TetMesh, UnstructuredDiffusion, refine,
+)
+from amg_ann_tpu.solvers import amg_solve
+
+
+class TestMeshes:
+    @pytest.mark.parametrize("name", list(MESH_GENERATORS))
+    def test_generators_valid(self, name):
+        m = MESH_GENERATORS[name]()
+        assert m.n_cells > 0
+        vols = m.volumes()
+        assert np.all(vols > 1e-14), f"{name}: degenerate tets"
+        assert m.tets.max() < m.n_vertices
+        assert m.boundary_vertices().size > 0
+
+    def test_refinement_preserves_volume(self):
+        m = MESH_GENERATORS["Cube"]()
+        total = m.volumes().sum()
+        r = refine(m)
+        assert r.n_cells == 8 * m.n_cells
+        np.testing.assert_allclose(r.volumes().sum(), total, rtol=1e-12)
+        # ancestor tracking
+        assert set(np.unique(r.base_cell)) == set(np.unique(m.base_cell))
+
+    def test_cube_volume_exact(self):
+        m = MESH_GENERATORS["Cube"]()
+        np.testing.assert_allclose(m.volumes().sum(), 8.0, rtol=1e-12)
+
+
+class TestProblem:
+    def test_convergence_on_cube(self):
+        errs = []
+        for ref in (0, 1, 2):
+            p = UnstructuredDiffusion(mesh="Cube", refinements=ref,
+                                      sol_id=0, freq=np.pi / 2,
+                                      max_diffusion=0.0)
+            a, b, x0 = p.build()
+            x = np.linalg.solve(a.to_dense(), b)
+            errs.append(p.compute_l2_error(x))
+        orders = compute_order(errs)
+        assert orders[-1] > 2 - 0.3, (errs, orders)
+
+    def test_mu_respects_ancestors(self):
+        p = UnstructuredDiffusion(mesh="Cube", refinements=2, seed=1,
+                                  max_diffusion=5.0)
+        mu = p.mu_cells()
+        # constant within each base cell's descendants
+        for bc in np.unique(p.tet_mesh.base_cell)[:5]:
+            vals = mu[p.tet_mesh.base_cell == bc]
+            assert np.all(vals == vals[0])
+        assert len(np.unique(mu)) > 1
+
+    def test_amg_solve_ball(self):
+        p = UnstructuredDiffusion(mesh="HyperBall", refinements=2, seed=0,
+                                  max_diffusion=2.0)
+        a, b, x0 = p.build()
+        res = amg_solve(a, b, AMGParams(), x0=x0, rtol=1e-8, tol=0.0)
+        assert res.converged and res.niters <= 60, res.niters
+
+    def test_renumbering_same_solution(self):
+        p0 = UnstructuredDiffusion(mesh="Cube", refinements=1, seed=2,
+                                   max_diffusion=1.0)
+        p1 = UnstructuredDiffusion(mesh="Cube", refinements=1, seed=2,
+                                   max_diffusion=1.0,
+                                   renumbering="cuthill_mckee")
+        a0, b0, _ = p0.build()
+        a1, b1, _ = p1.build()
+        x0 = np.linalg.solve(a0.to_dense(), b0)
+        x1 = np.linalg.solve(a1.to_dense(), b1)
+        np.testing.assert_allclose(p0.compute_l2_error(x0),
+                                   p1.compute_l2_error(x1), rtol=1e-10)
+
+    def test_torus_solves(self):
+        p = UnstructuredDiffusion(mesh="Torus", refinements=1, seed=0,
+                                  max_diffusion=1.0)
+        a, b, x0 = p.build()
+        res = amg_solve(a, b, AMGParams(), x0=x0, rtol=1e-8, tol=0.0)
+        assert res.converged
+
+    def test_unknown_mesh_rejected(self):
+        with pytest.raises(ValueError):
+            UnstructuredDiffusion(mesh="Klein")
