@@ -1,0 +1,92 @@
+"""Explicit halo-exchange distributed SpMV (shard_map + ppermute).
+
+The GSPMD path (sharded.py) lets XLA all-gather the source vector; for
+banded (DIA) operators that is wasteful — each device only needs `halo`
+entries from each neighbor, where halo = max |offset|. This module does the
+minimal exchange explicitly:
+
+    from_left  = ppermute(x_local[-halo:], shift +1)   # neighbor's tail
+    from_right = ppermute(x_local[:halo],  shift -1)   # neighbor's head
+    x_ext = [from_left | x_local | from_right]
+    y_local = Σ_k d_k ⊙ x_ext[halo+o_k : halo+o_k+nb]
+
+Ring wrap-around at the ends delivers garbage values that are annihilated
+by the zero coefficients DIA carries where an offset walks off the matrix —
+the same argument that makes circular rolls exact (sparse/dia.py).
+
+The two ppermutes are independent of the diagonal-0 product and overlap
+with local compute under XLA's async collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse.dia import DIA
+
+
+def dia_halo(offsets) -> int:
+    return max((abs(int(o)) for o in offsets), default=1)
+
+
+def _local_spmv(data_loc, x_ext, offsets, halo: int, nb: int):
+    y = jnp.zeros(nb, dtype=data_loc.dtype)
+    for k, o in enumerate(offsets):
+        y = y + data_loc[k] * jax.lax.dynamic_slice(
+            x_ext, (halo + int(o),), (nb,))
+    return y
+
+
+def halo_spmv_shardmap(a: DIA, mesh: Mesh, axis: str = "rows"):
+    """Build (spmv_fn, shard) for matrix `a` distributed over `mesh`.
+
+    spmv_fn(data_sharded, x_sharded) -> y_sharded; data must be reshaped
+    flat (K, R·C) and padded so R·C divides the mesh size.
+    """
+    ndev = mesh.shape[axis]
+    n_flat = a.data.shape[1] * a.cols
+    assert n_flat % ndev == 0, (n_flat, ndev)
+    nb = n_flat // ndev
+    halo = dia_halo(a.offsets)
+    assert halo <= nb, f"halo {halo} exceeds block {nb}; use fewer devices"
+    offsets = a.offsets
+
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+    def kernel(data_loc, x_loc):
+        # data_loc: (K, nb); x_loc: (nb,)
+        from_left = jax.lax.ppermute(x_loc[-halo:], axis, fwd)
+        from_right = jax.lax.ppermute(x_loc[:halo], axis, bwd)
+        x_ext = jnp.concatenate([from_left, x_loc, from_right])
+        return _local_spmv(data_loc, x_ext, offsets, halo, nb)
+
+    fn = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)
+
+
+def distribute_dia(a: DIA, mesh: Mesh, axis: str = "rows"):
+    """Shard (K, R·C) data and return (spmv_fn, data_sharded, put_vector)."""
+    n_flat = a.data.shape[1] * a.cols
+    data = a.data.reshape(a.data.shape[0], n_flat)
+    sh_mat = NamedSharding(mesh, P(None, axis))
+    sh_vec = NamedSharding(mesh, P(axis))
+    data_sharded = jax.device_put(data, sh_mat)
+    fn = halo_spmv_shardmap(a, mesh, axis)
+
+    def put_vector(x):
+        x = jnp.asarray(x)
+        if x.shape[0] != n_flat:
+            x = jnp.pad(x, (0, n_flat - x.shape[0]))
+        return jax.device_put(x, sh_vec)
+
+    return fn, data_sharded, put_vector

@@ -9,6 +9,7 @@ runs (identical math).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..sparse.dia import DIA, dia_spmv, dia_spmv_fast
 from ..sparse.ell import ELL, spmv as ell_spmv
@@ -30,7 +31,10 @@ PALLAS_MIN_ROWS = 100_000
 def op_matvec(op, x):
     """y = op @ x for ELL or DIA operands."""
     if isinstance(op, DIA):
-        if _on_tpu() and op.cols == 128 and op.n >= PALLAS_MIN_ROWS:
+        # Pallas path: f32 only — XLA's x64-rewrite pass cannot process
+        # f64 pallas custom-calls (and f64 on TPU is emulated anyway)
+        if (_on_tpu() and op.cols == 128 and op.n >= PALLAS_MIN_ROWS
+                and op.data.dtype == jnp.float32):
             return dia_spmv_fast(op, x)
         return dia_spmv(op, x)
     if isinstance(op, ELL):

@@ -98,3 +98,32 @@ class TestDataParallelTraining:
         # params remain replicated after the update
         leaf = jax.tree.leaves(state2.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestHaloExchange:
+    def test_halo_spmv_matches(self, mesh):
+        """shard_map + ppermute halo SpMV == host matvec."""
+        from amg_ann_tpu.dist.halo import distribute_dia, dia_halo
+        from amg_ann_tpu.sparse.dia import from_csr_dia
+
+        n = 16
+        a = poisson_7pt(n)
+        d = from_csr_dia(a)
+        assert dia_halo(d.offsets) == n * n
+        fn, data_sh, put = distribute_dia(d, mesh)
+        x = np.random.default_rng(0).random(n**3)
+        y = np.asarray(fn(data_sh, put(x)))
+        np.testing.assert_allclose(y[: n**3], a.matvec(x), rtol=1e-12)
+
+    def test_halo_too_large_rejected(self, mesh):
+        from amg_ann_tpu.dist.halo import halo_spmv_shardmap
+        from amg_ann_tpu.sparse.dia import from_csr_dia
+
+        a = poisson_7pt(8)   # 512 dofs over 8 devices: block 64 < halo 64?
+        d = from_csr_dia(a)
+        # halo = 64 == block 64 -> allowed; shrink by faking offsets
+        import dataclasses
+
+        big = d.replace(offsets=(-100, 0, 100))
+        with pytest.raises(AssertionError):
+            halo_spmv_shardmap(big, mesh)
