@@ -1,0 +1,131 @@
+"""Analysis & evaluation wrappers (model_evaluation.py / data_analysis.py
+/ cnn_filter_visualization.py parity).
+
+* `eval_model` — the reference's top-level evaluator (:103-163): look up a
+  trained model by id in the hyper_params_fit metadata, rebuild its data,
+  dump raw predictions, run the θ* deployment simulation, write
+  perf_df.csv + summary.json.
+* `theta_proxy_table` — data_analysis.py's hexbin study data (:16-59):
+  per problem, argmin-θ of measured time vs argmin-θ of hierarchy-size
+  proxies (Σn_k, Σnnz_k, Σn_k·nnz_k, ρ).
+* `spectrum_table` — tc2.1 conditioning study (:70-157): extremal
+  eigenvalues vs h and vs marked-point distance from center.
+* `feature_maps` — conv-layer activation maps via flax intermediates
+  (cnn_filter_visualization.py:22-35).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..ann.driver import df_to_model_input, find_metadata, load_data
+from ..ann.checkpoint import load_model
+from ..ann.train import predict
+from .evaluate import get_summary_perf, test_model
+
+
+def eval_model(models_path: str, model_id: str, data_path: str,
+               config=None, theta_tobeat: float = 0.5,
+               sigma_bar=np.inf) -> dict:
+    """Evaluate a trained model on a processed dataset directory."""
+    row = find_metadata(models_path, model_id)
+    model, params, spec = load_model(os.path.join(models_path, model_id))
+    inputs = row["inputs"].split(";")
+    join_on = row["join_on"].split(";")
+
+    df = load_data(data_path, view_size=int(row["view_size"]),
+                   join_on=join_on, norm_mode=row["norm_mode"],
+                   view_type=row["view_type"])
+
+    save_path = os.path.join(models_path, model_id)
+    os.makedirs(save_path, exist_ok=True)
+
+    # raw predictions over the full set (reference :127-138)
+    view, pvec, target = df_to_model_input(df, inputs, row["tgt"])
+    pred = predict(model, params, view, pvec)
+    pd.DataFrame({"pred": pred[:, 0],
+                  **({"pred_var": pred[:, 1]} if pred.shape[1] > 1 else {}),
+                  "tgt": target}).to_csv(
+        os.path.join(save_path, "pred.csv"), index=False)
+
+    perf_df = test_model(model, params, df, join_on=join_on,
+                         tgt=row["tgt"], inputs=inputs, view_column="img",
+                         config=config, theta_tobeat=theta_tobeat)
+    perf_df.to_csv(os.path.join(save_path, "perf_df.csv"), index=False)
+
+    summary = get_summary_perf(perf_df, sigma_bar=sigma_bar)
+    with open(os.path.join(save_path, "summary.json"), "w") as f:
+        json.dump({k: float(v) for k, v in summary.items()}, f, indent=1)
+    return summary
+
+
+def theta_proxy_table(df: pd.DataFrame, join_on) -> pd.DataFrame:
+    """Per problem: θ_argmin(t) vs θ_argmin of hierarchy proxies.
+
+    Requires output_setup_details columns (nrows, nze quoted vectors) and
+    rho. Proxies: Σn_k, Σnnz_k, Σ n_k·nnz_k, ρ (data_analysis.py:16-59).
+    """
+    def parse_vec(s):
+        return np.array([float(x) for x in str(s).strip('"').split(",")])
+
+    rows = []
+    for key, g in df.groupby(join_on):
+        g = g.sort_values("theta")
+        t = g["t_solve"] + g["t_amg_setup"]
+        nsum = g["nrows"].apply(lambda s: parse_vec(s).sum())
+        zsum = g["nze"].apply(lambda s: parse_vec(s).sum())
+        nz = g.apply(lambda r: (parse_vec(r["nrows"])
+                                * parse_vec(r["nze"])).sum(), axis=1)
+        rec = {"problem": key,
+               "theta_t": g["theta"].iloc[np.argmin(t.to_numpy())],
+               "theta_nsum": g["theta"].iloc[np.argmin(nsum.to_numpy())],
+               "theta_nzsum": g["theta"].iloc[np.argmin(zsum.to_numpy())],
+               "theta_nnz": g["theta"].iloc[np.argmin(nz.to_numpy())]}
+        if "rho" in g.columns:
+            rec["theta_rho"] = g["theta"].iloc[
+                np.argmin(g["rho"].to_numpy())]
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def spectrum_table(eigen_df: pd.DataFrame) -> pd.DataFrame:
+    """tc2.1 conditioning study: κ = λmax/λmin vs mesh size and marked-
+    point distance from the domain center (data_analysis.py:70-157)."""
+    df = eigen_df.copy()
+    df["h"] = 2.0 ** (-df["mesh_ref"].astype(float))
+    df["kappa"] = df["max"] / df["min"]
+    df["dist_center"] = df["mpt"].apply(
+        lambda s: float(np.linalg.norm(
+            [float(x) for x in str(s).strip('"').split(",")])))
+    return df[["mesh_ref", "h", "diff", "dist_center", "min", "max",
+               "kappa", "solver"]]
+
+
+def feature_maps(model, params, view, pvec):
+    """Per-layer conv activations (cnn_filter_visualization parity).
+
+    Returns {path: activation array} for every intermediate output of the
+    CNN trunk.
+    """
+    import jax
+
+    _, state = model.apply({"params": params}, view, pvec,
+                           capture_intermediates=True, mutable=["intermediates"])
+
+    maps = {}
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}/{k}")
+        else:
+            for arr in tree if isinstance(tree, (tuple, list)) else [tree]:
+                if hasattr(arr, "ndim") and arr.ndim == 4:
+                    maps[prefix] = np.asarray(arr)
+
+    walk(state["intermediates"], "")
+    return maps

@@ -155,10 +155,10 @@ def _interp_call(ps, data, xp, offsets):
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, block_rows, lanes), lambda i: (0, i, 0),
+            pl.BlockSpec((k, block_rows, lanes), lambda i: (i * 0, i, i * 0),  # i*0 keeps i32 under x64
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_rows, lanes), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, lanes), data.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],

@@ -90,10 +90,10 @@ def dia_spmv_pallas(data, x_padded, offsets, block_rows: int | None = None):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((k, block_rows, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((k, block_rows, LANES), lambda i: (i * 0, i, i * 0),  # i*0 keeps i32 under x64
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, LANES), data.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],

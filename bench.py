@@ -85,9 +85,9 @@ def main():
     h = setup_structured(a, (N, N, N), params)
     t_setup = time.perf_counter() - t0
 
-    # warm-up: compile both jitted paths
-    ir_solve(a, b, params, hierarchy=h, rtol=RTOL, max_outer=3,
-             inner_maxiter=5)
+    # warm-up with IDENTICAL static args (max_outer/inner_maxiter are jit
+    # statics — different values would recompile inside the timed call)
+    ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
 
     res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
     t_solve = res.t_solve / 1e6
