@@ -90,6 +90,72 @@ def diffusion_7pt(kappa: np.ndarray, dtype=np.float64):
     return CSR(a.indptr, a.indices, (a.data * h).astype(dtype), a.shape)
 
 
+def anisotropic_27pt(n: int, tensor: np.ndarray | None = None,
+                     angle: float = 0.0, ratio: float = 100.0,
+                     dtype=np.float64):
+    """FD discretization of −∇·(K∇u) with a constant anisotropic tensor K
+    (BASELINE config 4: rotated tensor coefficients).
+
+    K defaults to R(angle)·diag(1, 1/ratio, 1/ratio)·R(angle)ᵀ with R a
+    rotation in the x-y plane. Mixed derivatives use the standard 4-point
+    cross stencil, giving a 27-point-bounded (here ≤ 19-point) operator.
+    Dirichlet-eliminated interior grid, h-scaled like poisson_7pt.
+    """
+    if tensor is None:
+        c, s = np.cos(angle), np.sin(angle)
+        r = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        tensor = r @ np.diag([1.0, 1.0 / ratio, 1.0 / ratio]) @ r.T
+    k = np.asarray(tensor, dtype=np.float64)
+    assert k.shape == (3, 3)
+    h = 1.0 / (n + 1)
+    idx = np.arange(n ** 3).reshape(n, n, n)
+
+    rows, cols, vals = [], [], []
+
+    def add(src_slice, dst_slice, v):
+        r = idx[src_slice].ravel()
+        c = idx[dst_slice].ravel()
+        rows.append(r)
+        cols.append(c)
+        vals.append(np.full(r.size, v, dtype=dtype))
+
+    sl = slice(None)
+    full = (sl, sl, sl)
+    diag_val = 2.0 * (k[0, 0] + k[1, 1] + k[2, 2])
+    add(full, full, diag_val)
+    axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    for d, dvec in enumerate(axes):
+        for shift in (-1, 1):
+            src = [sl] * 3
+            dst = [sl] * 3
+            ax = dvec.index(1)
+            if shift == 1:
+                src[ax], dst[ax] = slice(0, n - 1), slice(1, n)
+            else:
+                src[ax], dst[ax] = slice(1, n), slice(0, n - 1)
+            add(tuple(src), tuple(dst), -k[d, d])
+    # mixed terms: −2k_ab ∂²/∂a∂b via the 4-corner cross stencil
+    for a in range(3):
+        for b_ax in range(a + 1, 3):
+            kab = k[a, b_ax]
+            if kab == 0.0:
+                continue
+            for sa in (-1, 1):
+                for sb in (-1, 1):
+                    src = [sl] * 3
+                    dst = [sl] * 3
+                    for ax, sh in ((a, sa), (b_ax, sb)):
+                        if sh == 1:
+                            src[ax], dst[ax] = slice(0, n - 1), slice(1, n)
+                        else:
+                            src[ax], dst[ax] = slice(1, n), slice(0, n - 1)
+                    add(tuple(src), tuple(dst), -0.5 * kab * sa * sb)
+    out = CSR.from_coo(np.concatenate(rows), np.concatenate(cols),
+                       np.concatenate(vals), (n ** 3, n ** 3))
+    return CSR(out.indptr, out.indices, (out.data * h).astype(dtype),
+               out.shape)
+
+
 def jumping_coefficient_field(n: int, pattern_size: int, eps_exponents,
                               mode: int = 3):
     """Piecewise-constant κ = 10^ε on a pattern of macro-cells.

@@ -218,13 +218,49 @@ def _torus_mesh(nmaj: int, nmin: int, R: float = 2.0, r: float = 0.5):
     return TetMesh(verts, tets.astype(np.int64), base)
 
 
+def _filtered_cube(m, keep_fn):
+    """Cube mesh with tets removed where keep_fn(centroids) is False."""
+    mesh = _cube_mesh(m)
+    cent = mesh.vertices[mesh.tets].mean(axis=1)
+    keep = keep_fn(cent)
+    tets = mesh.tets[keep]
+    base = mesh.base_cell[keep]
+    used = np.unique(tets)
+    remap = -np.ones(mesh.n_vertices, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    return TetMesh(mesh.vertices[used], remap[tets], base)
+
+
+def _plate_with_hole_mesh(m: int) -> TetMesh:
+    """Cube with a cylindrical hole through the z axis (deal.II's
+    plate_with_a_hole analog)."""
+    return _filtered_cube(
+        m, lambda c: np.linalg.norm(c[:, :2], axis=1) > 0.4)
+
+
+def _replicate_cross_mesh(m: int) -> TetMesh:
+    """2×2×2 replicated '3-D plus' pattern: keep where at least two local
+    coordinates are near the macro-cell center (tc1's ReplicateCross
+    analog — a periodic lattice of cross-shaped channels)."""
+
+    def keep(c):
+        local = np.abs(((c + 1.0) % 1.0) - 0.5)   # distance to cell center
+        near = local < 0.27
+        return near.sum(axis=1) >= 2
+
+    return _filtered_cube(m, keep)
+
+
 MESH_GENERATORS = {
     "Cube": lambda: _cube_mesh(4),
     "Simplex": lambda: _simplex_mesh(),
     "HyperBall": lambda: _ball_mesh(4),
+    "HyperBallBalanced": lambda: _ball_mesh(6),
     "Cylinder": lambda: _cylinder_mesh(4),
     "Cheese": lambda: _cheese_mesh(8),
     "Torus": lambda: _torus_mesh(12, 4),
+    "PlateWithHole": lambda: _plate_with_hole_mesh(8),
+    "ReplicateCross": lambda: _replicate_cross_mesh(8),
 }
 
 

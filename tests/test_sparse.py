@@ -107,3 +107,59 @@ class TestELL:
         np.testing.assert_allclose(
             np.asarray(l1_row_norm(ell)), np.abs(a).sum(axis=1)
         )
+
+
+class TestBSR:
+    def test_roundtrip_and_spmv(self, rng):
+        from amg_ann_tpu.sparse import from_csr_bsr, bsr_spmv, to_csr_bsr
+
+        nb, b = 7, 3
+        n = nb * b
+        dense = np.zeros((n, n))
+        # random block pattern
+        for _ in range(12):
+            i, j = rng.integers(0, nb, 2)
+            dense[i*b:(i+1)*b, j*b:(j+1)*b] = rng.random((b, b))
+        a = CSR.from_dense(dense)
+        bs = from_csr_bsr(a, b)
+        np.testing.assert_allclose(to_csr_bsr(bs).to_dense(), dense)
+        x = rng.random(n)
+        np.testing.assert_allclose(np.asarray(bsr_spmv(bs, jnp.asarray(x))),
+                                   dense @ x, rtol=1e-12)
+
+    def test_elasticity_matrix_through_bsr(self):
+        from amg_ann_tpu.fem.elasticity import LinearElasticity
+        from amg_ann_tpu.sparse import from_csr_bsr, bsr_spmv
+
+        p = LinearElasticity(pattern_size=2, refinements=0, epsv=np.ones(8))
+        a, _, _ = p.build()
+        bs = from_csr_bsr(a, 3)
+        x = np.random.default_rng(0).random(a.nrows)
+        np.testing.assert_allclose(np.asarray(bsr_spmv(bs, jnp.asarray(x))),
+                                   a.matvec(x), rtol=1e-10)
+
+
+class TestAnisotropic:
+    def test_operator_properties(self):
+        from amg_ann_tpu.fem import anisotropic_27pt
+
+        a = anisotropic_27pt(8, angle=np.pi / 6, ratio=50.0)
+        d = a.to_dense()
+        np.testing.assert_allclose(d, d.T, atol=1e-14)
+        assert np.linalg.eigvalsh(d).min() > 0
+        # axis-aligned case reduces to weighted 7-point
+        a0 = anisotropic_27pt(4, angle=0.0, ratio=10.0)
+        assert a0.sparsity < 7.5
+
+    def test_amg_solves_anisotropic(self):
+        from amg_ann_tpu.amg import AMGParams
+        from amg_ann_tpu.fem import anisotropic_27pt
+        from amg_ann_tpu.solvers import amg_solve
+
+        a = anisotropic_27pt(12, angle=np.pi / 4, ratio=100.0)
+        b = a.matvec(np.random.default_rng(0).random(12**3))
+        # strong anisotropy: higher theta isolates the strong direction
+        res = amg_solve(a, b, AMGParams(strong_threshold=0.5,
+                                        smoother="chebyshev"),
+                        rtol=1e-8, tol=0.0, maxiter=300)
+        assert res.converged

@@ -88,3 +88,28 @@ class TestProblem:
     def test_unknown_mesh_rejected(self):
         with pytest.raises(ValueError):
             UnstructuredDiffusion(mesh="Klein")
+
+
+def test_vtk_export(tmp_path):
+    from amg_ann_tpu.fem.vtk import write_tet_vtk, write_structured_vtk
+
+    p = UnstructuredDiffusion(mesh="Cube", refinements=0)
+    u = np.zeros(p.ndof)
+    f = tmp_path / "m.vtk"
+    write_tet_vtk(str(f), p.tet_mesh, point_fields={"solution": u},
+                  cell_fields={"mu": p.mu_cells()})
+    txt = f.read_text()
+    assert "UNSTRUCTURED_GRID" in txt and "CELL_DATA" in txt
+
+    g = tmp_path / "s.vtk"
+    x = np.linspace(-1, 1, 5)
+    write_structured_vtk(str(g), (x, x, x),
+                         {"solution": np.zeros(125)})
+    assert "STRUCTURED_GRID" in g.read_text()
+
+
+def test_describe_stats():
+    from amg_ann_tpu.utils import describe
+
+    s = describe(np.arange(101, dtype=float), printer=None)
+    assert s["50%"] == 50.0 and s["count"] == 101
