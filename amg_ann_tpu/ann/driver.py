@@ -121,11 +121,13 @@ def run_hyperparameter_csv(output_dir: str, data_dir: str,
                 learn_err=bool(row["learn_err"]))
 
         epochs = int(epochs_override or row["epochs"])
+        freeze = int(row["freeze"]) if "freeze" in row and \
+            pd.notna(row.get("freeze")) else 0
         result = fit(model, view, pvec, target, epochs=epochs,
                      batch_size=int(row["batch_size"]),
                      validation_split=float(row.get("val_split", 0.0)),
                      patience=int(row["patience"]), lr=float(row["lr"]),
-                     state=state, verbose=verbose)
+                     state=state, verbose=verbose, freeze=freeze)
 
         save_model(model_path, model, result.best_params,
                    view_size=int(row["view_size"]),

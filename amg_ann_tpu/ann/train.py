@@ -50,7 +50,7 @@ def _loss_fn(learn_err: bool):
     return mse_mvar if learn_err else mse
 
 
-def make_train_step(model: ThetaCostModel):
+def make_train_step(model: ThetaCostModel, grad_mask=None):
     loss_fn = _loss_fn(model.learn_err)
 
     @jax.jit
@@ -60,6 +60,8 @@ def make_train_step(model: ThetaCostModel):
             return loss_fn(target, pred), pred
 
         (l, pred), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
         state = state.apply_gradients(grads=grads)
         return state, l, pred
 
@@ -81,13 +83,25 @@ def make_eval_step(model: ThetaCostModel):
     return eval_step
 
 
+def freeze_mask(params, n_frozen: int):
+    """Boolean pytree: False for the first n_frozen top-level modules (in
+    flax's sorted order) — the reference's layer-freeze option
+    (train_ann.py:381-383)."""
+    names = sorted(params.keys())
+    frozen = set(names[:n_frozen])
+    return {k: jax.tree.map(lambda _: k not in frozen, v)
+            for k, v in params.items()}
+
+
 def fit(model: ThetaCostModel, view_data, param_data, target_data, *,
         epochs: int = 100, batch_size: int = 32, validation_split: float = 0.0,
         patience: int = 5, lr: float = 1e-3, seed: int = 0,
         state: TrainState | None = None, verbose: bool = False,
         lr_factor: float = 0.5, min_delta: float = 1e-9,
-        min_lr: float = 1e-8) -> FitResult:
-    """Train; returns final + best-loss params and per-epoch history."""
+        min_lr: float = 1e-8, freeze: int = 0) -> FitResult:
+    """Train; returns final + best-loss params and per-epoch history.
+
+    freeze > 0 zero-masks gradients of the first `freeze` modules."""
     view_data = np.asarray(view_data, dtype=np.float32)
     param_data = np.asarray(param_data, dtype=np.float32)
     target_data = np.asarray(target_data, dtype=np.float32).reshape(-1, 1)
@@ -108,7 +122,11 @@ def fit(model: ThetaCostModel, view_data, param_data, target_data, *,
     else:
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
 
-    train_step = make_train_step(model)
+    mask = None
+    if freeze > 0:
+        mask = jax.tree.map(lambda b: jnp.asarray(1.0 if b else 0.0),
+                            freeze_mask(state.params, freeze))
+    train_step = make_train_step(model, mask)
     eval_step = make_eval_step(model)
 
     np_rng = np.random.default_rng(seed)

@@ -69,6 +69,20 @@ class SweepConfig:
     rtol_mode: bool = False  # True: treat tol as relative (TPU f32 runs)
     solver_mode: int = 1     # tc2.1 only: 0 eigen / 1 sweep / 2 view
 
+    @staticmethod
+    def from_json(path: str) -> "SweepConfig":
+        """Load a flat-JSON settings file (the reference apps run
+        `./exe settings.json`, parsed by deal.II ParameterHandler)."""
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(SweepConfig)}
+        kw = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in raw.items() if k in fields}
+        kw["problem"] = dict(raw.get("problem", {}))
+        return SweepConfig(**kw)
+
 
 # ---------------------------------------------------------------------------
 # per-app adapters: build problem + CSV prefix for a given cycle

@@ -1,0 +1,128 @@
+"""Diagnostic plots (matplotlib) — the reference's figure surface:
+smoothed t(θ) curves (data_preprocessing.plot_smoothed_data:14-37),
+prediction-vs-truth scatter colored by σ̂ (model_evaluation:366-413),
+performance histogram (:416-428), pooled-view gallery
+(cnn_filter_visualization.pooling_visualization:121-146).
+
+All functions return the figure and optionally save; no plt.show() —
+headless-safe (Agg backend).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_smoothed_data(df, keys, save_dir=None, max_groups=16,
+                       window=21, order=7):
+    """t(θ) raw vs Savitzky–Golay per problem group."""
+    import scipy.signal
+
+    figs = []
+    for i, (name, g) in enumerate(df.groupby(keys)):
+        if i >= max_groups:
+            break
+        g = g.sort_values("theta")
+        fig, ax = plt.subplots()
+        ax.plot(g["theta"], 1e-6 * g["t"], "o-", label="data")
+        w = min(window, len(g) - (len(g) + 1) % 2)
+        ax.plot(g["theta"], 1e-6 * scipy.signal.savgol_filter(
+            g["t"], w, min(order, w - 1)), "--",
+            label=f"Savitzky-Golay({w},{min(order, w - 1)})")
+        ax.set_xlabel(r"$\theta$")
+        ax.set_ylabel("time [s]")
+        ax.legend()
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fig.savefig(os.path.join(save_dir, f"smoothed_{i}.png"))
+            plt.close(fig)
+        figs.append(fig)
+    return figs
+
+
+def plot_pred_scatter(target, pred, sigma=None, save_path=None):
+    """Prediction vs truth, colored by the uncertainty indicator."""
+    fig, ax = plt.subplots()
+    sc = ax.scatter(target, pred, c=sigma if sigma is not None else "C0",
+                    s=8, cmap="viridis")
+    lim = [min(np.min(target), np.min(pred)),
+           max(np.max(target), np.max(pred))]
+    ax.plot(lim, lim, "k--", lw=1)
+    ax.set_xlabel("target")
+    ax.set_ylabel("prediction")
+    if sigma is not None:
+        fig.colorbar(sc, label=r"$\hat\sigma$")
+    if save_path:
+        fig.savefig(save_path)
+        plt.close(fig)
+    return fig
+
+
+def plot_perf_histogram(perf_df, save_path=None):
+    fig, ax = plt.subplots()
+    ax.hist(100 * perf_df["perf"], bins=21, alpha=0.8, label="achieved P")
+    ax.hist(100 * perf_df["perf_max"], bins=21, alpha=0.5,
+            label="oracle P_MAX")
+    ax.set_xlabel("performance gain vs θ=0.5 [%]")
+    ax.set_ylabel("# problems")
+    ax.legend()
+    if save_path:
+        fig.savefig(save_path)
+        plt.close(fig)
+    return fig
+
+
+def plot_view_gallery(views, titles=None, save_path=None, log_scale=True):
+    """Pooled-view image gallery (one subplot per matrix image)."""
+    n = len(views)
+    cols = min(4, n)
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False)
+    for i, v in enumerate(views):
+        ax = axes[i // cols][i % cols]
+        img = np.log(np.abs(v) + 1) * np.sign(v) if log_scale else v
+        ax.imshow(img, cmap="RdBu")
+        ax.set_xticks([])
+        ax.set_yticks([])
+        if titles:
+            ax.set_title(titles[i], fontsize=8)
+    for j in range(n, rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    if save_path:
+        fig.savefig(save_path)
+        plt.close(fig)
+    return fig
+
+
+def plot_feature_maps(maps: dict, sample: int = 0, max_channels: int = 16,
+                      save_dir=None):
+    """4×4 activation grids per conv layer (cnn_filter_visualization)."""
+    figs = []
+    for li, (name, act) in enumerate(maps.items()):
+        c = min(act.shape[-1], max_channels)
+        cols = 4
+        rows = -(-c // cols)
+        fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows),
+                                 squeeze=False)
+        for k in range(c):
+            ax = axes[k // cols][k % cols]
+            ax.imshow(act[sample, :, :, k], cmap="viridis")
+            ax.set_xticks([])
+            ax.set_yticks([])
+        fig.suptitle(name, fontsize=9)
+        for j in range(c, rows * cols):
+            axes[j // cols][j % cols].axis("off")
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fig.savefig(os.path.join(save_dir, f"fmap_{li}.png"))
+            plt.close(fig)
+        figs.append(fig)
+    return figs

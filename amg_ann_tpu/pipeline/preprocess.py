@@ -101,7 +101,11 @@ def preprocess_data(stats_csv: str | pd.DataFrame, app: str,
             x, min(window, len(x) - (len(x) + 1) % 2),
             min(order, min(window, len(x) - (len(x) + 1) % 2) - 1)))
     add_rho_column(df)
-    df = normalize_rho_t(df, keys)
+    # niters is normalized alongside t/ρ (an addition over the reference:
+    # iteration count is the deterministic part of the cost signal and a
+    # better training target on noisy-walltime hosts)
+    df = normalize_rho_t(df, keys, cols=("t", "tsg", "rho", "irho",
+                                         "niters"))
     return df
 
 

@@ -37,7 +37,10 @@ VIEW_SIZE = 24
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-problems", type=int, default=24)
-    ap.add_argument("--refinements", type=int, default=2)
+    ap.add_argument("--refinements", type=int, default=3)
+    ap.add_argument("--tgt", default="nitersnl",
+                    help="training target: nitersnl (deterministic) or tnl")
+    ap.add_argument("--perf-tgt", default="niters")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--out", default="/tmp/amg_ann_demo")
     args = ap.parse_args()
@@ -76,7 +79,7 @@ def main():
     merged["log2ndof"] = np.log2(merged["ndof"])
 
     # problem-level split
-    problems = merged["epsv"].unique()
+    problems = np.array(merged["epsv"].unique(), dtype=object)
     rng.shuffle(problems)
     n_test = max(2, len(problems) // 5)
     test_eps = set(problems[:n_test])
@@ -87,7 +90,7 @@ def main():
     inputs = ["log2ndof", "theta", "mode"]
     view = np.stack(train_df["img"].to_numpy())
     pvec = train_df[inputs].to_numpy(np.float32)
-    tgt = train_df["tnl"].to_numpy(np.float32)
+    tgt = train_df[args.tgt].to_numpy(np.float32)
 
     model = ThetaCostModel(nparams=3, wide1=16, depth1=2, wide2=16,
                            depth2=1, bottleneck=16, wide3=48, depth3=2,
@@ -99,8 +102,9 @@ def main():
 
     for name, d in (("train", train_df), ("test", test_df)):
         perf = test_model(model, res.best_params, d, join_on=["epsv"],
-                          tgt="tnl", inputs=inputs, view_column="img",
-                          config={"N": 51, "lvls": 1})
+                          tgt=args.tgt, inputs=inputs, view_column="img",
+                          config={"N": 51, "lvls": 1},
+                          perf_tgt=args.perf_tgt)
         s = get_summary_perf(perf)
         print(f"{name}: frac_good={s['frac_good']:.2f} "
               f"mean_gain={s['mean_gain']*100:.1f}% "

@@ -236,3 +236,62 @@ class TestMultiAppDatagen:
         assert len(tc3_configs()) == 2 * 1 * 2 * 2 * 2
         for c in tc3_configs():
             assert c.aggressive_levels == 2
+
+
+def test_sweepconfig_from_json(tmp_path):
+    import json
+
+    cfg_path = tmp_path / "settings.json"
+    json.dump({"app": "testcase2-diffusion-structured",
+               "problem": {"pattern_size": 2, "refinements": 1, "mode": 1,
+                           "epsv": [0.0, 1.0]},
+               "strong_threshold": [0.2, 0.81, 0.3],
+               "tol": 1e-6, "setting_name": "fromjson"},
+              open(cfg_path, "w"))
+    cfg = SweepConfig.from_json(str(cfg_path))
+    assert cfg.strong_threshold == (0.2, 0.81, 0.3)
+    assert cfg.problem["pattern_size"] == 2
+    assert cfg.setting_name == "fromjson"
+
+
+def test_plots_smoke(tmp_path):
+    from amg_ann_tpu.pipeline.plots import (
+        plot_perf_histogram, plot_pred_scatter, plot_view_gallery,
+    )
+
+    rng = np.random.default_rng(0)
+    perf = pd.DataFrame({"perf": rng.normal(0.1, 0.1, 30),
+                         "perf_max": rng.uniform(0.1, 0.4, 30)})
+    plot_perf_histogram(perf, save_path=str(tmp_path / "h.png"))
+    plot_pred_scatter(rng.random(40), rng.random(40), rng.random(40),
+                      save_path=str(tmp_path / "s.png"))
+    plot_view_gallery([rng.random((8, 8)) - 0.5 for _ in range(3)],
+                      save_path=str(tmp_path / "g.png"))
+    assert (tmp_path / "h.png").exists()
+    assert (tmp_path / "s.png").exists()
+    assert (tmp_path / "g.png").exists()
+
+
+def test_freeze_masks_gradients():
+    from amg_ann_tpu.ann import fit
+
+    rng = np.random.default_rng(0)
+    view = rng.random((8, 8, 8, 1)).astype(np.float32)
+    pvec = rng.random((8, 2)).astype(np.float32)
+    tgt = rng.random(8).astype(np.float32)
+    m = ThetaCostModel(nparams=2, wide1=2, depth1=1, wide2=0, depth2=0,
+                       bottleneck=2, wide3=4, depth3=1, learn_err=False)
+    import jax
+
+    state = create_state(m, jax.random.PRNGKey(0), (8, 8, 1))
+    init = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    r = fit(m, view, pvec, tgt, epochs=3, batch_size=8, freeze=1, seed=0,
+            state=state)
+    names = sorted(init.keys())
+    frozen, trained = names[0], names[-1]
+    assert all(np.allclose(a, b) for a, b in zip(
+        jax.tree.leaves(r.state.params[frozen]),
+        jax.tree.leaves(init[frozen])))
+    assert not all(np.allclose(a, b) for a, b in zip(
+        jax.tree.leaves(r.state.params[trained]),
+        jax.tree.leaves(init[trained])))
