@@ -10,6 +10,7 @@ from .evaluate import (
     DEFAULT_TEST_CONFIG, get_summary_perf, interp1d_tgt, pred_theta,
     test_model,
 )
+from .analysis import eval_model, spectrum_table, theta_proxy_table
 from .preprocess import (
     add_rho_column, best_theta, calc_rho, interp_rho, normalize_rho_t,
     preprocess_data, split_train_validation_test,
@@ -22,5 +23,5 @@ __all__ = [
     "preprocess_data", "split_train_validation_test", "calc_rho",
     "interp_rho", "add_rho_column", "normalize_rho_t", "best_theta",
     "pred_theta", "test_model", "get_summary_perf", "interp1d_tgt",
-    "DEFAULT_TEST_CONFIG",
+    "DEFAULT_TEST_CONFIG", "eval_model", "theta_proxy_table", "spectrum_table",
 ]

@@ -226,6 +226,12 @@ def run_config(cfg: SweepConfig, out_path: str) -> str:
                 _write_view_row(fh, prefix, a, cfg.view_size)
             else:
                 _write_sweep_rows(fh, prefix, a, b, x0, cfg)
+    # every (problem, θ) pair compiles a distinct-shape solve executable;
+    # long sweeps would otherwise exhaust process memory maps (observed:
+    # LLVM "Unable to allocate section memory" at vm.max_map_count)
+    import jax
+
+    jax.clear_caches()
     return out_path
 
 

@@ -2,6 +2,7 @@
 
 from .amg_solver import SolveResult, amg_solve
 from .cycle import vcycle
+from .eigen import EigenResult, dense_extremal, lanczos_extremal
 from .krylov import PCGResult, cg, pcg
 from .refine import IRResult, ir_solve
 from .smoothers import chebyshev, jacobi, l1_jacobi
@@ -9,4 +10,5 @@ from .smoothers import chebyshev, jacobi, l1_jacobi
 __all__ = [
     "amg_solve", "SolveResult", "vcycle", "pcg", "cg", "PCGResult",
     "jacobi", "l1_jacobi", "chebyshev", "ir_solve", "IRResult",
+    "lanczos_extremal", "dense_extremal", "EigenResult",
 ]

@@ -1,16 +1,22 @@
 """Sparse formats and kernels.
 
-Host construction format: `CSR` (numpy). Device solve format: `ELL`
-(static-shape JAX pytree) with XLA gather SpMV; Pallas kernels live in
-`pallas_spmv` and are selected by `spmv_fast` when profitable.
+Host construction format: `CSR` (numpy). Device solve formats:
+  * `ELL`  — padded gather SpMV (general matrices; CPU/parity path),
+  * `DIA`  — banded shift SpMV with a Pallas TPU kernel (the fast path),
+  * `BSR`  — block-ELL for vector-valued operators (elasticity).
+Host SpGEMM (Galerkin products) runs through native C++ (native/csparse).
 """
 
 from .bsr import BSR, bsr_spmv, from_csr_bsr, to_csr_bsr
 from .csr import CSR
+from .dia import DIA, dia_spmv, dia_spmv_fast, from_csr_dia, num_offsets
 from .ell import ELL, diag, from_csr, l1_row_norm, spmv, spmv_t, to_csr
 from .spgemm import spgemm
 
 __all__ = [
-    "CSR", "ELL", "BSR", "from_csr_bsr", "bsr_spmv", "to_csr_bsr", "spgemm", "from_csr", "to_csr", "spmv", "spmv_t",
-    "diag", "l1_row_norm",
+    "CSR", "ELL", "DIA", "BSR",
+    "from_csr", "to_csr", "spmv", "spmv_t", "diag", "l1_row_norm",
+    "from_csr_dia", "dia_spmv", "dia_spmv_fast", "num_offsets",
+    "from_csr_bsr", "bsr_spmv", "to_csr_bsr",
+    "spgemm",
 ]
