@@ -115,7 +115,9 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     x of length n; returns length n. Pads x with the halo rows the kernel
     contract requires (zeros — exact, see pallas_spmv docstring).
     """
-    from .pallas_spmv import LANES, dia_spmv_pallas, halo_rows
+    from .pallas_spmv import (
+        LANES, dia_spmv_pallas, dia_spmv_pallas_nopad, halo_rows,
+    )
 
     assert a.cols == LANES, f"pallas DIA kernel needs cols=128, got {a.cols}"
     r = a.data.shape[1]
@@ -123,6 +125,10 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     if x.shape[0] != rc:
         x = jnp.pad(x, (0, rc - x.shape[0]))
     h = halo_rows(a.offsets)
+    if not interpret and 3 * h <= r:
+        # fast path: no host-side halo pad — boundary handling in-kernel
+        y = dia_spmv_pallas_nopad(a.data, x.reshape(r, LANES), a.offsets)
+        return y.reshape(-1)[: a.n] if a.n != rc else y.reshape(-1)
     xp = jnp.pad(x.reshape(r, LANES), ((h, h), (0, 0)))
     fn = dia_spmv_pallas
     if interpret:

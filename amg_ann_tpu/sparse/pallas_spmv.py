@@ -64,6 +64,95 @@ def _dia_kernel(offsets, block_rows, halo, x_hbm, d_ref, o_ref, sem):
     )
 
 
+def _dia_kernel_nopad(offsets, block_rows, halo, nrows, x_hbm, d_ref, o_ref,
+                      sem):
+    """Variant taking UNPADDED x (R, 128) — removes the host-side halo-pad
+    copy between chained SpMVs. The DMA window [start-halo, start+B+halo)
+    is clamped into [0, R]; the data lands at a mid-window offset so the
+    intended slot of every in-matrix row stays correct:
+
+        slot(g) = halo + g − clamped,   base_k = 2·halo + r_k + (start−clamped)
+
+    Rows whose tap walks off the matrix land in the zeroed window flanks
+    (coefficients there are zero anyway; flanks are zeroed so stray NaN
+    bit-patterns in uninitialized VMEM cannot poison 0·x)."""
+    i = pl.program_id(0)
+    copy = block_rows + 2 * halo
+    win = block_rows + 4 * halo
+    start = i * block_rows - halo
+    clamped = jnp.clip(start, 0, nrows - copy)
+    delta = start - clamped          # in [-halo, halo]
+
+    def body(xv):
+        xv[pl.ds(0, halo), :] = jnp.zeros((halo, LANES), dtype=x_hbm.dtype)
+        xv[pl.ds(copy + halo, halo), :] = jnp.zeros((halo, LANES),
+                                                    dtype=x_hbm.dtype)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(clamped, copy)],
+            xv.at[pl.ds(halo, copy)], sem)
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((block_rows, LANES), dtype=o_ref.dtype)
+        for k, (r, s) in enumerate(_decompose(offsets)):
+            base = 2 * halo + r + delta
+            if s == 0:
+                shifted = xv[pl.ds(base, block_rows), :]
+            else:
+                hi = xv[pl.ds(base, block_rows), pl.ds(s, LANES - s)]
+                lo = xv[pl.ds(base + 1, block_rows), pl.ds(0, s)]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            acc = acc + d_ref[k] * shifted
+        o_ref[:, :] = acc
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((win, LANES), x_hbm.dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
+def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
+    """Unpadded-x variant: data (K, R, 128), x2d (R, 128) → y (R, 128)."""
+    k, r, lanes = data.shape
+    assert lanes == LANES
+    assert x2d.shape == (r, LANES), (x2d.shape, r)
+    h = halo_rows(offsets)
+    if block_rows is None:
+        vmem_budget = 4 * 1024 * 1024
+        target = max(8, min(r, vmem_budget // (max(k, 1) * LANES * 4)))
+        block_rows = 1
+        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
+            block_rows *= 2
+        # clamp window must fit inside the matrix: B + 2h ≤ R
+        while block_rows > 1 and block_rows + 2 * h > r:
+            block_rows //= 2
+    assert r % block_rows == 0, (r, block_rows)
+    assert block_rows + 2 * h <= r, (
+        "matrix too small for the nopad kernel window")
+    grid = r // block_rows
+
+    kernel = functools.partial(_dia_kernel_nopad, offsets, block_rows, h, r)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, block_rows, LANES),
+                         lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), data.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * r * LANES,
+            bytes_accessed=(k + 2) * r * LANES * 4,
+            transcendentals=0,
+        ),
+    )(x2d, data)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
 def dia_spmv_pallas(data, x_padded, offsets, block_rows: int | None = None):
     """data: (K, R, 128); x_padded: (R + 2H, 128) with H = halo_rows.
