@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..sparse import csr as csr_mod
 from ..sparse import ell as ell_mod
 from ..sparse.csr import CSR
 from ..sparse.spgemm import spgemm

@@ -24,8 +24,8 @@ import jax
 
 from .checkpoint import load_model, save_model
 from .models import ThetaCostModel
-from .normalize import VIEW_TYPE_CHANNELS, norm_view, stack_channels
-from .train import fit, predict
+from .normalize import VIEW_TYPE_CHANNELS, stack_channels
+from .train import fit
 
 TO_DROP = [
     "Unnamed: 0", "setting", "maxrowsum", "symop", "tol",

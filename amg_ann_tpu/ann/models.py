@@ -24,8 +24,6 @@ reference, float32 params with optional bfloat16 compute.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,8 +20,6 @@ with local compute under XLA's async collectives.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -111,8 +111,6 @@ def feature_maps(model, params, view, pvec):
     Returns {path: activation array} for every intermediate output of the
     CNN trunk.
     """
-    import jax
-
     _, state = model.apply({"params": params}, view, pvec,
                            capture_intermediates=True, mutable=["intermediates"])
 

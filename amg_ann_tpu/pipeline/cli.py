@@ -24,7 +24,6 @@ import threading
 import pandas as pd
 
 from . import configs as config_mod
-from .constants import TEST_VARIABLES
 from .datagen import APP_TC1, APP_TC2, APP_TC21, APP_TC3, run_config
 
 APP_ALIASES = {

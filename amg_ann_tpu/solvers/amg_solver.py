@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from ..amg.hierarchy import AMGParams, Hierarchy, setup
-from ..sparse import ell as ell_mod
 from ..sparse.csr import CSR
 from .cycle import vcycle
 from .krylov import pcg

@@ -8,8 +8,6 @@ V-cycle a legal SPD preconditioner for CG.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from .ops import op_matvec
 
 

@@ -79,8 +79,11 @@ def _dia_kernel_nopad(offsets, block_rows, halo, nrows, x_hbm, d_ref, o_ref,
     i = pl.program_id(0)
     copy = block_rows + 2 * halo
     win = block_rows + 4 * halo
-    start = i * block_rows - halo
-    clamped = jnp.clip(start, 0, nrows - copy)
+    # all-i32 index arithmetic: mixing weak python ints here makes the
+    # Mosaic x64 convert helper recurse (observed RecursionError)
+    start = i * jnp.int32(block_rows) - jnp.int32(halo)
+    clamped = jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                          jnp.int32(nrows - copy))
     delta = start - clamped          # in [-halo, halo]
 
     def body(xv):
