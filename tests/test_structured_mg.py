@@ -94,3 +94,18 @@ class TestStructuredHierarchy:
                                        dtype=np.float32),
                        grid_shape=(n, n, n), rtol=1e-8)
         assert res.converged and res.true_res <= 1e-8
+
+
+class TestHigherDegree:
+    def test_degree2_fem_through_structured_path(self):
+        """Q2 operators (125-point stencil) stay banded — the structured
+        hierarchy accepts them without any offset cap."""
+        p = StructuredDiffusion(pattern_size=2, refinements=2, degree=2)
+        a, b, x0 = p.build()
+        n = p.n_nodes_1d
+        res = amg_solve(a, b, AMGParams(smoother="chebyshev"), x0=x0,
+                        grid_shape=(n, n, n), rtol=1e-8, tol=0.0,
+                        maxiter=200)
+        assert res.converged, res.niters
+        lv0 = res.hierarchy.device.levels[0]
+        assert len(lv0.a.offsets) <= 125
