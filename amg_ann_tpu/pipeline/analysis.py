@@ -127,3 +127,64 @@ def feature_maps(model, params, view, pvec):
 
     walk(state["intermediates"], "")
     return maps
+
+
+def get_elbow_distance(v: np.ndarray) -> np.ndarray:
+    """Distance of each point of a sorted curve from its endpoint chord —
+    the reference's elbow detector for choosing σ̄
+    (model_evaluation.py:568-576)."""
+    v = np.asarray(v, dtype=float)
+    p1 = np.array([0.0, v[0]])
+    p2 = np.array([v.size - 1.0, v[-1]])
+    d = np.empty_like(v)
+    for i, y in enumerate(v):
+        p3 = np.array([float(i), y])
+        d[i] = np.abs(np.cross(p2 - p1, p1 - p3)) / np.linalg.norm(p2 - p1)
+    return d
+
+
+def sigma_bar_study(perf_df: pd.DataFrame, err_col: str | None = None):
+    """σ̄-elbow study (model_evaluation.py:578-643): sort problems by
+    descending uncertainty, find the elbow of the √err curve, and report
+    the σ̄ threshold at the elbow plus the cumulative bad-prediction rate.
+
+    Returns dict(sigma_bar, elbow_index, err_sorted, frac_bad_cum).
+    """
+    if err_col is None:
+        cands = [c for c in perf_df.columns if c.endswith("nn_err")]
+        assert len(cands) == 1, cands
+        err_col = cands[0]
+    df = perf_df.sort_values(err_col, ascending=False)
+    err = np.sqrt(np.maximum(df[err_col].to_numpy(dtype=float), 0.0))
+    d = get_elbow_distance(err)
+    idx = int(np.argmax(d))
+    perf_bad = np.where(df["perf"].to_numpy() < 0, 1, 0)
+    frac_bad_cum = np.cumsum(perf_bad[::-1])[::-1] / max(len(df), 1)
+    return {
+        "sigma_bar": float(err[idx] ** 2),
+        "elbow_index": idx,
+        "err_sorted": err,
+        "frac_bad_cum": frac_bad_cum,
+    }
+
+
+def cost_scaling_table(perf_df: pd.DataFrame) -> pd.DataFrame:
+    """Cost-scaling study data (model_evaluation.py:430-565): per degree,
+    log-linear fit of t/ndof vs log(ndof) at the default θ and at the
+    predicted θ* — the slopes quantify how the ANN changes the empirical
+    scaling exponent."""
+    rows = []
+    for deg, g in perf_df.groupby("degree"):
+        x = np.log(g["ndof"].to_numpy(dtype=float))
+        for label, col in (("default", "t"), ("predicted", "t_interp")):
+            if col not in g.columns:
+                continue
+            y = g[col].to_numpy(dtype=float) / g["ndof"].to_numpy(dtype=float)
+            if len(g) >= 2 and np.ptp(x) > 0:
+                slope, intercept = np.polyfit(x, y, 1)
+            else:
+                slope, intercept = np.nan, np.nan
+            rows.append({"degree": deg, "curve": label,
+                         "slope": slope, "intercept": intercept,
+                         "n_points": len(g)})
+    return pd.DataFrame(rows)

@@ -55,3 +55,41 @@ def test_feature_maps():
     assert len(maps) >= 2      # at least the conv outputs
     for k, v in maps.items():
         assert v.shape[0] == 2 and v.ndim == 4
+
+
+def test_elbow_and_sigma_bar_study():
+    from amg_ann_tpu.pipeline.analysis import (
+        get_elbow_distance, sigma_bar_study,
+    )
+
+    # convex-decay curve: elbow at the bend
+    v = np.array([10.0, 4.0, 2.0, 1.5, 1.2, 1.1, 1.0])
+    d = get_elbow_distance(v)
+    assert np.argmax(d) in (1, 2)
+
+    perf = pd.DataFrame({
+        "perf": [0.2, 0.1, -0.3, 0.15, -0.1],
+        "perf_max": [0.3, 0.2, 0.1, 0.2, 0.1],
+        "tnl_nn_err": [0.01, 0.02, 0.5, 0.015, 0.4],
+    })
+    out = sigma_bar_study(perf)
+    assert out["sigma_bar"] > 0
+    assert 0 <= out["elbow_index"] < len(perf)
+    assert out["frac_bad_cum"][0] == pytest.approx(2 / 5)
+
+
+def test_cost_scaling_table():
+    from amg_ann_tpu.pipeline.analysis import cost_scaling_table
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for deg in (1, 2):
+        for ndof in (1000, 8000, 64000):
+            rows.append({"degree": deg, "ndof": ndof,
+                         "t": 1e-3 * ndof * (1 + 0.1 * np.log(ndof)),
+                         "t_interp": 0.9e-3 * ndof})
+    out = cost_scaling_table(pd.DataFrame(rows))
+    assert set(out["curve"]) == {"default", "predicted"}
+    assert len(out) == 4
+    pred = out[(out.curve == "predicted")]
+    assert np.allclose(pred["slope"], 0.0, atol=1e-12)
