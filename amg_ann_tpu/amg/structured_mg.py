@@ -11,8 +11,9 @@ hypre ships PFMG for exactly this reason. Every level's operator stays a
 ≤27-offset banded matrix ⇒ the whole V-cycle runs on shifted vector
 multiply-adds (DIA / Pallas) with zero gathers.
 
-Falls back automatically (setup(..., mode="auto")) to the classical PMIS
-path for matrices without grid structure.
+Callers choose the path explicitly: `amg_solve(..., grid_shape=...)` /
+`ir_solve(..., grid_shape=...)` build this hierarchy; without grid_shape
+the classical PMIS path (amg/hierarchy.py) is used.
 """
 
 from __future__ import annotations

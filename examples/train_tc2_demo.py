@@ -36,11 +36,13 @@ VIEW_SIZE = 24
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-problems", type=int, default=24)
-    ap.add_argument("--refinements", type=int, default=3)
-    ap.add_argument("--tgt", default="nitersnl",
-                    help="training target: nitersnl (deterministic) or tnl")
-    ap.add_argument("--perf-tgt", default="niters")
+    ap.add_argument("--n-problems", type=int, default=36)
+    ap.add_argument("--refinements", type=int, default=4)
+    ap.add_argument("--tgt", default="tnl",
+                    help="training target: tnl (time; the reference signal — "
+                         "needs refinements>=4 so setup time dominates host "
+                         "noise) or nitersnl (deterministic; small problems)")
+    ap.add_argument("--perf-tgt", default="t")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--out", default="/tmp/amg_ann_demo")
     args = ap.parse_args()
