@@ -1,6 +1,7 @@
 """Solve phase: smoothers, V-cycle, PCG, and the amg_solve entry point."""
 
 from .amg_solver import SolveResult, amg_solve
+from .ann_solver import ann_amg_solve, predict_theta_for_matrix
 from .cycle import vcycle
 from .eigen import EigenResult, dense_extremal, lanczos_extremal
 from .krylov import PCGResult, cg, pcg
@@ -11,4 +12,5 @@ __all__ = [
     "amg_solve", "SolveResult", "vcycle", "pcg", "cg", "PCGResult",
     "jacobi", "l1_jacobi", "chebyshev", "ir_solve", "IRResult",
     "lanczos_extremal", "dense_extremal", "EigenResult",
+    "ann_amg_solve", "predict_theta_for_matrix",
 ]
