@@ -46,6 +46,7 @@ class AMGParams:
     trunc_factor: float = 0.0
     p_max_elements: int = 4
     smoother: str = "l1jacobi"  # "jacobi" | "l1jacobi" | "chebyshev"
+    cycle_type: str = "V"       # "V" | "W" (γ=2 coarse recursions)
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
     cheb_degree: int = 2
@@ -63,6 +64,8 @@ class AMGParams:
             raise ValueError(
                 f"strong_threshold must be in [0, 1], got {self.strong_threshold}"
             )
+        if self.cycle_type not in ("V", "W"):
+            raise ValueError(f"cycle_type must be V or W, got {self.cycle_type!r}")
 
 
 @struct.dataclass

@@ -136,11 +136,11 @@ def get_elbow_distance(v: np.ndarray) -> np.ndarray:
     v = np.asarray(v, dtype=float)
     p1 = np.array([0.0, v[0]])
     p2 = np.array([v.size - 1.0, v[-1]])
-    d = np.empty_like(v)
-    for i, y in enumerate(v):
-        p3 = np.array([float(i), y])
-        d[i] = np.abs(np.cross(p2 - p1, p1 - p3)) / np.linalg.norm(p2 - p1)
-    return d
+    chord = p2 - p1
+    norm = np.linalg.norm(chord)
+    # vectorized point-to-chord distance (2-D cross product as scalar)
+    xs = np.arange(v.size, dtype=float)
+    return np.abs(chord[0] * (p1[1] - v) - chord[1] * (p1[0] - xs)) / norm
 
 
 def sigma_bar_study(perf_df: pd.DataFrame, err_col: str | None = None):

@@ -44,14 +44,16 @@ def _cycle(h, l, b):
         x = apply_smoother(lev, x, b, params)
 
     r = b - op_matvec(lev.a, x)
-    if isinstance(lev, StructuredLevel):
-        bc = restrict(r, lev.shape)
-        xc = _cycle(h, l + 1, bc)
-        x = x + prolongate(xc, lev.shape)
-    else:
-        bc = spmv(lev.r, r)
-        xc = _cycle(h, l + 1, bc)
-        x = x + spmv(lev.p, xc)
+    structured = isinstance(lev, StructuredLevel)
+    bc = restrict(r, lev.shape) if structured else spmv(lev.r, r)
+    # γ-cycle: approximately solve A_c e = bc with γ recursive cycles
+    # (γ=1 → V-cycle, γ=2 → W-cycle)
+    gamma = 1 if params.cycle_type == "V" else 2
+    xc = _cycle(h, l + 1, bc)
+    for _ in range(gamma - 1):
+        rc = bc - op_matvec(h.levels[l + 1].a, xc)
+        xc = xc + _cycle(h, l + 1, rc)
+    x = x + (prolongate(xc, lev.shape) if structured else spmv(lev.p, xc))
 
     for _ in range(params.n_post_smooth):
         x = apply_smoother(lev, x, b, params)

@@ -206,3 +206,19 @@ class TestAMGSolve:
             assert res.converged
             iters.append(res.niters)
         assert len(set(iters)) > 1, f"no θ sensitivity: {iters}"
+
+
+class TestWCycle:
+    def test_w_cycle_converges_no_slower(self):
+        a = poisson_7pt(16)
+        b = a.matvec(np.random.default_rng(0).random(16**3))
+        rv = amg_solve(a, b, AMGParams(cycle_type="V"), rtol=1e-8, tol=0.0)
+        rw = amg_solve(a, b, AMGParams(cycle_type="W"), rtol=1e-8, tol=0.0)
+        assert rv.converged and rw.converged
+        assert rw.niters <= rv.niters
+
+    def test_invalid_cycle_type(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            AMGParams(cycle_type="F")
