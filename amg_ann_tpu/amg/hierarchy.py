@@ -125,8 +125,21 @@ class Hierarchy:
 
 
 def _estimate_lam_max(a: CSR, inv_diag: np.ndarray, iters: int = 12,
-                      seed: int = 7) -> float:
-    """Power iteration bound on λ_max(D⁻¹A) for Chebyshev/damped-Jacobi."""
+                      seed: int = 7, big_nnz: int = 2_000_000) -> float:
+    """Upper estimate of λ_max(D⁻¹A) for Chebyshev/damped-Jacobi intervals.
+
+    Hybrid: the Gershgorin bound max_i Σ_j|a_ij|/|a_ii| for large levels —
+    tight on fine stencil operators (Poisson: 2.0 vs true 1.97) and O(nnz),
+    avoiding power-iteration matvecs that dominated setup time; power
+    iteration for small (coarse Galerkin) levels, where Gershgorin is loose
+    (observed 1.8× over) and matvecs are cheap."""
+    if a.nrows == 0:
+        return 1.0
+    if a.nnz > big_nnz:
+        rows, _, vals = a.row_expand()
+        l1 = np.bincount(rows, weights=np.abs(vals), minlength=a.nrows)
+        bound = float(np.max(l1 * np.abs(inv_diag)))
+        return bound if bound > 0 else 1.0
     rng = np.random.default_rng(seed)
     x = rng.random(a.nrows) - 0.5
     x /= np.linalg.norm(x) + 1e-300
