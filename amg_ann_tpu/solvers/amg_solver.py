@@ -49,6 +49,34 @@ class SolveResult:
         return float(np.exp(np.log(self.p_res[k] / self.p_res[0]) / k))
 
 
+_SETUP_FIELDS = ("strong_threshold", "max_row_sum",
+                 "aggressive_coarsening_num_levels", "max_levels",
+                 "max_coarse_size", "trunc_factor", "p_max_elements",
+                 "symmetric_operator", "seed")
+
+
+def _apply_solve_params(hierarchy, params: AMGParams):
+    """Honor solve-time apply parameters (smoother, cycle type, sweep
+    counts) on a prebuilt hierarchy; reject silent mismatches of
+    setup-time parameters — the V-cycle reads params from the hierarchy
+    pytree, and without this a caller passing a different smoother to
+    amg_solve(hierarchy=...) would silently get the hierarchy's one."""
+    old = hierarchy.params
+    for f in _SETUP_FIELDS:
+        if getattr(old, f) != getattr(params, f):
+            raise ValueError(
+                f"AMGParams.{f}={getattr(params, f)!r} differs from the "
+                f"prebuilt hierarchy's {getattr(old, f)!r}; rebuild the "
+                "hierarchy (setup-time parameter)")
+    if (params.smoother, params.cycle_type, params.n_pre_smooth,
+            params.n_post_smooth, params.cheb_degree) == (
+            old.smoother, old.cycle_type, old.n_pre_smooth,
+            old.n_post_smooth, old.cheb_degree):
+        return hierarchy
+    new_device = hierarchy.device.replace(params=params)
+    return dataclasses.replace(hierarchy, device=new_device, params=params)
+
+
 @functools.partial(jax.jit, static_argnames=("maxiter",))
 def _jit_solve(device_h, a_op, b, x0, tol, rtol, maxiter):
     from .ops import op_matvec
@@ -83,6 +111,8 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
             hierarchy = setup_structured(a, grid_shape, params)
         else:
             hierarchy = setup(a, params)
+    else:
+        hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
     dtype = hierarchy.device.levels[0].a.data.dtype

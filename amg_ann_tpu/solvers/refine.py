@@ -66,6 +66,10 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
             hierarchy = setup_structured(a, grid_shape, params)
         else:
             hierarchy = setup(a, params)
+    else:
+        from .amg_solver import _apply_solve_params
+
+        hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
     x64 = jax.config.read("jax_enable_x64")

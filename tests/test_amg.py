@@ -222,3 +222,24 @@ class TestWCycle:
 
         with _pt.raises(ValueError):
             AMGParams(cycle_type="F")
+
+
+class TestHierarchyReuseParams:
+    def test_solve_time_smoother_honored(self):
+        """Passing a different smoother with a prebuilt hierarchy must be
+        honored, not silently replaced by the hierarchy's smoother."""
+        a = poisson_7pt(16)
+        b = a.matvec(np.random.default_rng(0).random(16**3))
+        h = setup(a, AMGParams(smoother="l1jacobi"))
+        r_l1 = amg_solve(a, b, AMGParams(smoother="l1jacobi"),
+                         hierarchy=h, rtol=1e-8, tol=0.0)
+        r_ch = amg_solve(a, b, AMGParams(smoother="chebyshev"),
+                         hierarchy=h, rtol=1e-8, tol=0.0)
+        assert r_ch.niters < r_l1.niters
+
+    def test_setup_param_mismatch_rejected(self):
+        a = poisson_7pt(8)
+        h = setup(a, AMGParams(strong_threshold=0.25))
+        with pytest.raises(ValueError, match="strong_threshold"):
+            amg_solve(a, np.ones(8**3),
+                      AMGParams(strong_threshold=0.7), hierarchy=h)
