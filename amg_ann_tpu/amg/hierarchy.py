@@ -46,6 +46,10 @@ class AMGParams:
     trunc_factor: float = 0.0
     p_max_elements: int = 4
     smoother: str = "l1jacobi"  # "jacobi" | "l1jacobi" | "chebyshev"
+    # round device-array shapes up to ~12.5%-granular buckets so θ-sweeps
+    # over one problem family reuse jitted solve executables instead of
+    # recompiling per hierarchy shape (sweep harness turns this on)
+    shape_buckets: bool = False
     cycle_type: str = "V"       # "V" | "W" (γ=2 coarse recursions)
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
@@ -206,7 +210,23 @@ def _make_stats(a_mats, p_mats) -> HierarchyStats:
     )
 
 
+def row_granule(n: int) -> int:
+    """Bucket granule ≈ n/4 rounded to a power of two (min 64): shapes
+    within the same quarter-octave interval share a padded size, so small
+    per-θ variations of coarse-level sizes mostly reuse jitted solves."""
+    if n <= 64:
+        return 64
+    return max(64, 2 ** (max(int(np.floor(np.log2(n))) - 2, 6)))
+
+
+def _pad1(v, n_pad):
+    out = np.zeros(n_pad, dtype=v.dtype)
+    out[: v.size] = v
+    return out
+
+
 def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
+    bucketed = params.shape_buckets
     levels = []
     for l, a_l in enumerate(a_mats):
         diag = a_l.diagonal()
@@ -217,13 +237,20 @@ def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
         inv_l1 = np.where(l1 != 0, 1.0 / np.where(l1 == 0, 1, l1), 0.0)
         lam = _estimate_lam_max(a_l, inv_diag)
         has_next = l < len(a_mats) - 1
+        ra = row_granule(a_l.nrows) if bucketed else 1
+        ka = 4 if bucketed else 1
+        ra_next = (row_granule(a_mats[l + 1].nrows)
+                   if (bucketed and has_next) else 1)
+        n_pad = -(-a_l.nrows // ra) * ra if bucketed else a_l.nrows
         levels.append(DeviceLevel(
-            a=ell_mod.from_csr(a_l, dtype=dtype),
-            p=ell_mod.from_csr(p_mats[l], dtype=dtype) if has_next else None,
-            r=ell_mod.from_csr(p_mats[l].transpose(), dtype=dtype)
+            a=ell_mod.from_csr(a_l, dtype=dtype, k_align=ka, row_align=ra),
+            p=ell_mod.from_csr(p_mats[l], dtype=dtype, k_align=ka,
+                               row_align=ra) if has_next else None,
+            r=ell_mod.from_csr(p_mats[l].transpose(), dtype=dtype,
+                               k_align=ka, row_align=ra_next)
             if has_next else None,
-            inv_diag=jnp.asarray(inv_diag, dtype=dtype),
-            inv_l1=jnp.asarray(inv_l1, dtype=dtype),
+            inv_diag=jnp.asarray(_pad1(inv_diag, n_pad), dtype=dtype),
+            inv_l1=jnp.asarray(_pad1(inv_l1, n_pad), dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
         ))
     coarse = a_mats[-1].to_dense().astype(np.float64)
@@ -233,6 +260,12 @@ def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
         coarse_inv = np.linalg.inv(coarse)
     except np.linalg.LinAlgError:
         coarse_inv = np.linalg.pinv(coarse)
+    if bucketed:
+        nc = coarse_inv.shape[0]
+        ncp = levels[-1].a.data.shape[0]
+        padded = np.zeros((ncp, ncp))
+        padded[:nc, :nc] = coarse_inv
+        coarse_inv = padded
     return DeviceHierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),

@@ -273,7 +273,10 @@ def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
                     max_row_sum=mrs,
                     aggressive_coarsening_num_levels=naggr,
                     output_details=cfg.output_setup_details,
-                    smoother=cfg.smoother)
+                    smoother=cfg.smoother,
+                    # bucket device shapes so the θ sweep reuses jitted
+                    # solves instead of recompiling per hierarchy shape
+                    shape_buckets=True)
                 tol_kw = ({"rtol": cfg.tol, "tol": 0.0} if cfg.rtol_mode
                           else {"tol": cfg.tol})
                 res = amg_solve(a, b, params, x0=x0, **tol_kw)

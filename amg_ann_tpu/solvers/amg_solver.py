@@ -115,11 +115,27 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
         hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
-    dtype = hierarchy.device.levels[0].a.data.dtype
-    b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
-    x0_dev = (jnp.zeros_like(b_dev) if x0 is None
-              else jnp.asarray(np.asarray(x0), dtype=dtype))
+    from ..sparse.dia import DIA
+    from ..sparse.ell import ELL
+
     a_ell = hierarchy.device.levels[0].a
+    dtype = a_ell.data.dtype
+    # vectors live at the device row count (== n, or the bucket-padded
+    # count under AMGParams.shape_buckets; padded entries stay zero).
+    # DIA handles its own internal padding, so its vector length is n.
+    n_dev = a_ell.data.shape[0] if isinstance(a_ell, ELL) else n
+    b_np = np.asarray(b)
+    if b_np.shape[0] != n_dev:
+        b_np = np.concatenate([b_np, np.zeros(n_dev - b_np.shape[0])])
+    b_dev = jnp.asarray(b_np, dtype=dtype)
+    if x0 is None:
+        x0_dev = jnp.zeros_like(b_dev)
+    else:
+        x0_np = np.asarray(x0)
+        if x0_np.shape[0] != n_dev:
+            x0_np = np.concatenate(
+                [x0_np, np.zeros(n_dev - x0_np.shape[0])])
+        x0_dev = jnp.asarray(x0_np, dtype=dtype)
 
     t0 = time.perf_counter()
     res = _jit_solve(hierarchy.device, a_ell, b_dev, x0_dev,
@@ -130,7 +146,7 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
 
     niters = int(res.niters)
     return SolveResult(
-        x=np.asarray(res.x),
+        x=np.asarray(res.x)[:n],
         niters=niters,
         p_res=np.asarray(res.history)[: niters + 1],
         converged=bool(res.converged),

@@ -243,3 +243,31 @@ class TestHierarchyReuseParams:
         with pytest.raises(ValueError, match="strong_threshold"):
             amg_solve(a, np.ones(8**3),
                       AMGParams(strong_threshold=0.7), hierarchy=h)
+
+
+class TestShapeBuckets:
+    def test_bucketed_solve_matches_exact(self):
+        a = poisson_7pt(13)   # 2197 dofs, odd size
+        b = a.matvec(np.random.default_rng(0).random(13**3))
+        r0 = amg_solve(a, b, AMGParams(), rtol=1e-8, tol=0.0)
+        r1 = amg_solve(a, b, AMGParams(shape_buckets=True),
+                       rtol=1e-8, tol=0.0)
+        assert r1.converged
+        assert r1.niters == r0.niters
+        np.testing.assert_allclose(r1.x, r0.x, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(r1.p_res, r0.p_res, rtol=1e-8)
+
+    def test_nearby_sizes_collide_to_one_bucket(self):
+        """Sizes within a quarter-octave interval share a padded size —
+        the property that lets θ-sweeps reuse jitted solves."""
+        from amg_ann_tpu.amg.hierarchy import row_granule
+
+        def padded(n):
+            g = row_granule(n)
+            return -(-n // g) * g
+
+        # coarse-level size jitter of a few % collides
+        assert padded(9000) == padded(9100) == padded(9400)
+        assert padded(82061) == padded(83500)  # ~2% apart
+        # far-apart sizes do not
+        assert padded(9000) != padded(14000)
