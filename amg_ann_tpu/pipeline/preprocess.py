@@ -35,7 +35,10 @@ def interp_rho(res: np.ndarray, res_point: float):
     """(iterations, residual, ρ) interpolated where the history crosses
     res_point (log-linear in the last interval), reference :58-70."""
     if res.size == 1:
-        return (1, np.array([1]), np.array([1]))
+        # 0-iteration solve: scalar degenerate values (the reference
+        # returns arrays here, data_preprocessing.py:59-60, which poisons
+        # later numeric groupbys — its datasets never hit this case)
+        return (1, float(res[0]), 1.0)
     if res[-1] == res_point:
         return (len(res) - 1, res_point, calc_rho(res)[-1])
     if res[-1] < res_point:
@@ -82,6 +85,12 @@ def preprocess_data(stats_csv: str | pd.DataFrame, app: str,
                     window: int = 21, order: int = 7) -> pd.DataFrame:
     df = (pd.read_csv(stats_csv) if isinstance(stats_csv, str)
           else stats_csv.copy())
+    # tc2.1 writes abbreviated column names (main.cpp:334-338); normalize
+    # them (the reference only handles the `res` alias,
+    # data_preprocessing.py:41-43 — it never trained on tc2.1 sweeps)
+    df = df.rename(columns={"t_setup": "t_amg_setup", "it": "niters",
+                            "res": "p_res", "mrs": "maxrowsum",
+                            "sym": "symop"})
     keys = TEST_VARIABLES[app]
     df["t"] = df["t_solve"] + df["t_amg_setup"]
     if len(df.groupby(keys + ["theta"])) != len(df):

@@ -295,3 +295,20 @@ def test_freeze_masks_gradients():
     assert not all(np.allclose(a, b) for a, b in zip(
         jax.tree.leaves(r.state.params[trained]),
         jax.tree.leaves(init[trained])))
+
+
+def test_cli_generate_and_preprocess(tmp_path):
+    """The two CLI subcommands end-to-end on a tiny tc2.1 grid."""
+    from amg_ann_tpu.pipeline.cli import main as cli_main
+
+    raw = tmp_path / "raw"
+    cli_main(["generate", "--app", "tc21", "--out", str(raw), "--n", "2",
+              "--threads", "2"])
+    cli_main(["generate", "--app", "tc21", "--out", str(raw), "--n", "2",
+              "--pooling", "8"])
+    out = tmp_path / "processed"
+    cli_main(["preprocess", "--app", "tc21", "--data", str(raw),
+              "--out", str(out), "--pooling", "8", "--window", "5",
+              "--order", "2", "--test", "0.5"])
+    assert (out / "train" / "stats.csv.gz").exists()
+    assert (out / "test" / "view.csv.gz").exists()
