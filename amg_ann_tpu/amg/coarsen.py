@@ -95,9 +95,6 @@ def _pmis_numpy(s: CSR, st: CSR, w: np.ndarray) -> np.ndarray:
         # undecided points that strongly depend on a new C point -> F
         dep = new_c[scols] & (state[srows] == 0)
         state[srows[dep]] = -1
-        state[state == 0] = np.where(
-            np.zeros(np.sum(state == 0), dtype=bool), 0, state[state == 0]
-        )
     return state == 1
 
 

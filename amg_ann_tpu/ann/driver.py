@@ -101,10 +101,17 @@ def run_hyperparameter_csv(output_dir: str, data_dir: str,
         model_path = os.path.join(output_dir, name)
 
         state = None
+        pretrain_path = None
         if "pretrain" in row and isinstance(row["pretrain"], str) \
                 and row["pretrain"]:
-            model, params, spec = load_model(
-                os.path.join(output_dir, row["pretrain"]))
+            cand = os.path.join(output_dir, row["pretrain"])
+            if os.path.isdir(cand):
+                pretrain_path = cand
+            else:
+                print(f"[driver] pretrain checkpoint {cand!r} not found; "
+                      "training from scratch")
+        if pretrain_path is not None:
+            model, params, spec = load_model(pretrain_path)
             from .train import create_state
 
             state = create_state(model, jax.random.PRNGKey(0),

@@ -23,31 +23,41 @@ from .constants import TEST_VARIABLES
 
 
 def calc_rho(res: np.ndarray) -> np.ndarray:
+    """ρ_k = (res_k / res_0)^{1/k} for k = 1..K, vectorized.
+
+    Same quantity as the reference's per-iteration convergence factor
+    (data_preprocessing.py:73-78)."""
     if res.size == 1:
         return np.array([1.0])
-    return np.array([
-        np.exp(np.log(res[i + 1] / res[0]) / (i + 1))
-        for i in range(len(res) - 1)
-    ])
+    k = np.arange(1, res.size, dtype=float)
+    return (res[1:] / res[0]) ** (1.0 / k)
 
 
 def interp_rho(res: np.ndarray, res_point: float):
-    """(iterations, residual, ρ) interpolated where the history crosses
-    res_point (log-linear in the last interval), reference :58-70."""
+    """Fractional iteration count, residual and ρ at the level `res_point`.
+
+    The sweep's histories end at slightly different final residuals; to
+    compare ρ across θ on equal footing, find the (fractional, log-linear
+    within the final step) iteration index i where this history reaches
+    `res_point` and report ρ = (res_point/res_0)^{1/i}. `res_point` must be
+    ≥ the final residual (caller passes the max over the sweep). Matches the
+    reference's irho semantics (data_preprocessing.py:58-70)."""
     if res.size == 1:
         # 0-iteration solve: scalar degenerate values (the reference
         # returns arrays here, data_preprocessing.py:59-60, which poisons
         # later numeric groupbys — its datasets never hit this case)
         return (1, float(res[0]), 1.0)
+    last = res.size - 1
+    if res[-1] > res_point:
+        raise ValueError("res_point is not the max")
     if res[-1] == res_point:
-        return (len(res) - 1, res_point, calc_rho(res)[-1])
-    if res[-1] < res_point:
-        lle = float(len(res))
-        i = np.interp(np.log(res_point), np.log(res[-1:-3:-1]),
-                      [lle - 1, lle - 2])
-        irho = np.exp(np.log(res_point / res[0]) / i)
-        return (i, res_point, irho)
-    raise ValueError("res_point is not the max")
+        return (last, res_point, calc_rho(res)[-1])
+    # log-linear inside the final interval [res[-2], res[-1]):
+    # i = last - fraction of the last step not yet needed at res_point
+    frac = ((np.log(res_point) - np.log(res[-1]))
+            / (np.log(res[-2]) - np.log(res[-1])))
+    i = last - float(np.clip(frac, 0.0, 1.0))
+    return (i, res_point, float((res_point / res[0]) ** (1.0 / i)))
 
 
 def add_rho_column(df: pd.DataFrame) -> None:
@@ -61,13 +71,20 @@ def add_rho_column(df: pd.DataFrame) -> None:
 
 
 def normalize_rho_t(df, group_cols, cols=("t", "tsg", "rho", "irho")):
-    cols = list(cols)
-    gb = df.groupby(group_cols)
-    norm = gb[cols].transform(lambda x: (x - x.mean()) / x.std())
-    norm = norm.rename(columns={k: k + "n" for k in cols})
-    norml = gb[cols].transform(lambda x: (x - x.min()) / (x.max() - x.min()))
-    norml = norml.rename(columns={k: k + "nl" for k in cols})
-    return pd.concat([norm, norml, df], axis=1)
+    """Per-problem-group normalizations of the cost columns.
+
+    Adds, for every column c in `cols`, `cn` (z-score within the problem's
+    θ-sweep) and `cnl` (min-max within the sweep — `tnl` is the shipped
+    training target). Same definitions as the reference
+    (data_preprocessing.py:81-87); built by direct column assignment."""
+    out = df.copy()
+    gb = out.groupby(group_cols)
+    for c in cols:
+        g = gb[c]
+        out[c + "n"] = (out[c] - g.transform("mean")) / g.transform("std")
+        span = g.transform("max") - g.transform("min")
+        out[c + "nl"] = (out[c] - g.transform("min")) / span
+    return out
 
 
 def best_theta(gdf: pd.DataFrame) -> dict:
@@ -125,29 +142,28 @@ def split_train_validation_test(df: pd.DataFrame, app: str,
     """Problem-level shuffle split; writes {train,test}/{stats,view}.csv.gz
     (reference :127-150). Returns the two stats frames."""
     keys = TEST_VARIABLES[app]
-    gb = df.groupby(keys)
-    n_test = int(np.round(test * len(gb)))
-    n_train = len(gb) - n_test
-    idxs = np.array([0] * n_train + [1] * n_test)
-    np.random.default_rng(seed).shuffle(idxs)
-    df_idxs = [[], []]
-    for i, idx in enumerate(gb.groups.values()):
-        df_idxs[idxs[i]].append(idx)
-    dfs = [df.loc[np.concatenate(di)] if di else df.iloc[:0]
-           for di in df_idxs]
+    # a "problem" is one unique key combination (its whole θ-sweep moves
+    # together — the split must never leak a sweep across sets)
+    problems = df[keys].drop_duplicates().reset_index(drop=True)
+    n_test = int(np.round(test * len(problems)))
+    perm = np.random.default_rng(seed).permutation(len(problems))
+    problems["_split"] = "train"
+    problems.loc[perm[:n_test], "_split"] = "test"
+    tagged = df.merge(problems, on=keys, how="left")
+    tagged.index = df.index
 
     view_df = (pd.read_csv(view_csv) if isinstance(view_csv, str)
                else view_csv.copy()).reset_index()
     out = []
-    for i, dataset in enumerate(["train", "test"]):
+    for dataset in ("train", "test"):
+        part = tagged[tagged["_split"] == dataset].drop(columns="_split")
         path = os.path.join(out_dir, dataset)
         os.makedirs(path, exist_ok=True)
-        dfs[i].to_csv(os.path.join(path, "stats.csv.gz"), index=False)
-        join = pd.merge(dfs[i], view_df, on=keys, suffixes=("", "_view"))
-        assert len(join) == len(dfs[i]), \
-            f"{dataset}: view join not 1:1 ({len(join)} vs {len(dfs[i])})"
-        view_idx = join["index"].unique()
-        view_df.loc[view_idx].to_csv(os.path.join(path, "view.csv.gz"),
-                                     index=False)
-        out.append(dfs[i])
+        part.to_csv(os.path.join(path, "stats.csv.gz"), index=False)
+        join = pd.merge(part, view_df, on=keys, suffixes=("", "_view"))
+        assert len(join) == len(part), \
+            f"{dataset}: view join not 1:1 ({len(join)} vs {len(part)})"
+        view_df.loc[join["index"].unique()].to_csv(
+            os.path.join(path, "view.csv.gz"), index=False)
+        out.append(part)
     return out
