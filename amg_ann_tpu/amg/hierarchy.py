@@ -50,6 +50,9 @@ class AMGParams:
     # over one problem family reuse jitted solve executables instead of
     # recompiling per hierarchy shape (sweep harness turns this on)
     shape_buckets: bool = False
+    # structured-path interpolation: "operator" = θ-sensitive operator-
+    # induced weights (amg/boxmg.py), "trilinear" = fixed geometric weights
+    structured_interp: str = "operator"
     cycle_type: str = "V"       # "V" | "W" (γ=2 coarse recursions)
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
@@ -70,6 +73,10 @@ class AMGParams:
             )
         if self.cycle_type not in ("V", "W"):
             raise ValueError(f"cycle_type must be V or W, got {self.cycle_type!r}")
+        if self.structured_interp not in ("operator", "trilinear"):
+            raise ValueError(
+                f"structured_interp must be 'operator' or 'trilinear', "
+                f"got {self.structured_interp!r}")
 
 
 @struct.dataclass

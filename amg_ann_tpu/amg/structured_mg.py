@@ -1,25 +1,39 @@
-"""Structured (PFMG-style) Galerkin multigrid — the all-DIA TPU fast path.
+"""Structured Galerkin multigrid — the all-DIA TPU fast path.
 
 For operators assembled on structured interior grids (the reference's
 entire benchmark surface: testcase2/2.1 structured cubes, the 7-point FD
 problems), classical PMIS coarsening destroys bandedness and forces the
 solve onto gather-SpMV, which XLA executes ~600× below HBM speed-of-light
 on TPU. This mode instead coarsens GEOMETRICALLY (every second node per
-axis, trilinear P / full-weighting R) while keeping the operator algebra
-GALERKIN (A_{l+1} = Pᵀ A_l P computed on host from the explicit CSR P) —
+axis) while keeping the operator algebra GALERKIN (A_{l+1} = Pᵀ A_l P) —
 hypre ships PFMG for exactly this reason. Every level's operator stays a
-≤27-offset banded matrix ⇒ the whole V-cycle runs on shifted vector
-multiply-adds (DIA / Pallas) with zero gathers.
+banded matrix ⇒ the whole V-cycle runs on shifted vector multiply-adds
+(DIA / Pallas) with zero gathers.
 
-Callers choose the path explicitly: `amg_solve(..., grid_shape=...)` /
-`ir_solve(..., grid_shape=...)` build this hierarchy; without grid_shape
-the classical PMIS path (amg/hierarchy.py) is used.
+Two interpolation modes (AMGParams.structured_interp):
+
+  * "operator" (default): θ-SENSITIVE operator-induced weights with
+    hypre-style strength filtering and max_row_sum weakening (amg/boxmg.py)
+    — the strong-threshold parameter the whole framework predicts
+    (reference common/amg_solver.h:30) steers this path directly. Both
+    setup (stencil-algebra RAP, no SpGEMM) and solve run on ≤27-offset
+    stencils; hierarchy SHAPES are θ-independent, so θ-sweeps reuse one
+    compiled solve per grid size. Requires a ≤3³-reach fine operator
+    (Q1/7-point); wider stencils fall back to:
+  * "trilinear": fixed geometric trilinear P / full-weighting R, Galerkin
+    RAP via host CSR SpGEMM — θ-blind, but supports any banded operator
+    (degree ≥ 2 FEM: 125-point stencils).
+
+Callers choose the structured path explicitly: `amg_solve(...,
+grid_shape=...)` / `ir_solve(..., grid_shape=...)`; without grid_shape the
+classical PMIS path (amg/hierarchy.py) is used.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
+from typing import Optional
 
 import numpy as np
 import jax
@@ -29,7 +43,10 @@ from flax import struct
 from ..sparse.csr import CSR
 from ..sparse.dia import DIA, from_csr_dia
 from ..sparse.spgemm import spgemm
-from .hierarchy import AMGParams, HierarchyStats, _estimate_lam_max, _make_stats
+from .boxmg import (choose_strides, csr_to_stencil, interp_csr,
+                    interp_weights, rap_stencil, stencil_diag_stats,
+                    stencil_lam_max, stencil_to_csr, stencil_to_dia)
+from .hierarchy import AMGParams, HierarchyStats, _estimate_lam_max
 from .transfer import coarse_size, prolongation_csr
 
 
@@ -40,6 +57,12 @@ class StructuredLevel:
     inv_l1: jax.Array
     lam_max: jax.Array
     shape: tuple = struct.field(pytree_node=False)  # (nx, ny, nz)
+    # operator-induced prolongation weights (27, nx, ny, nz); None on the
+    # trilinear path and on the coarsest level
+    p_w: Optional[jax.Array] = None
+    # per-axis coarsening strides toward the NEXT level (θ-driven
+    # semicoarsening); (2, 2, 2) = full coarsening
+    strides: tuple = struct.field(pytree_node=False, default=(2, 2, 2))
 
 
 @struct.dataclass
@@ -51,21 +74,107 @@ class StructuredHierarchy:
 
 @dataclasses.dataclass
 class StructuredSetupResult:
-    a_mats: list
-    p_mats: list
     device: StructuredHierarchy
     stats: HierarchyStats
     params: AMGParams
+    # operator path: per-level host stencils / weight stencils
+    stencils: Optional[list] = None
+    weights: Optional[list] = None
+    # trilinear path fills these eagerly; operator path materializes the
+    # equivalent CSR matrices lazily (tests / parity artifacts only)
+    a_mats_eager: Optional[list] = None
+    p_mats_eager: Optional[list] = None
+
+    @property
+    def a_mats(self) -> list:
+        if self.a_mats_eager is None:
+            self.a_mats_eager = [stencil_to_csr(s) for s in self.stencils]
+        return self.a_mats_eager
+
+    strides: Optional[list] = None  # per-level coarsening patterns
+
+    @property
+    def p_mats(self) -> list:
+        if self.p_mats_eager is None:
+            self.p_mats_eager = [interp_csr(w, st) for w, st in
+                                 zip(self.weights, self.strides)]
+        return self.p_mats_eager
 
 
-def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
-                     **kw) -> StructuredSetupResult:
-    """Build the all-banded hierarchy for a matrix on `grid_shape`."""
-    if params is None:
-        params = AMGParams(**kw)
+def _dense_inverse(coarse_csr: CSR) -> np.ndarray:
+    coarse = coarse_csr.to_dense().astype(np.float64)
+    try:
+        return np.linalg.inv(coarse)
+    except np.linalg.LinAlgError:
+        return np.linalg.pinv(coarse)
+
+
+def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
+                    dtype) -> StructuredSetupResult:
+    """θ-sensitive path: stencil hierarchy, stencil-algebra RAP."""
     t0 = time.perf_counter()
-    dtype = params.dtype or a.data.dtype
-    assert int(np.prod(grid_shape)) == a.nrows, (grid_shape, a.nrows)
+    stencils = [s0]
+    weights = []
+    stride_list = []
+    shapes = [tuple(grid_shape)]
+    while (int(np.prod(shapes[-1])) > params.max_coarse_size
+           and len(stencils) < params.max_levels
+           and max(shapes[-1]) >= 2):
+        strides = choose_strides(stencils[-1], params.strong_threshold)
+        if 2 not in strides:
+            break
+        w = interp_weights(stencils[-1], params.strong_threshold,
+                           params.max_row_sum, strides)
+        stencils.append(rap_stencil(stencils[-1], w, strides))
+        weights.append(w)
+        stride_list.append(strides)
+        shapes.append(tuple(coarse_size(s) if st == 2 else s
+                            for s, st in zip(shapes[-1], strides)))
+
+    rows = [int(np.prod(sh)) for sh in shapes]
+    nnz = [int(np.count_nonzero(s)) for s in stencils]
+    p_nnz = sum(int(np.count_nonzero(w)) for w in weights)
+    stats = HierarchyStats(
+        n_levels=len(stencils), rows=rows, nnz=nnz,
+        sparsity=[z / max(r, 1) for z, r in zip(nnz, rows)],
+        grid_complexity=sum(rows) / max(rows[0], 1),
+        operator_complexity=sum(nnz) / max(nnz[0], 1),
+        memory_complexity=(sum(nnz) + p_nnz) / max(nnz[0], 1),
+    )
+
+    levels = []
+    for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
+        inv_diag, inv_l1, _ = stencil_diag_stats(s_l)
+        lam = stencil_lam_max(s_l, inv_diag)
+        has_next = l < len(stencils) - 1
+        levels.append(StructuredLevel(
+            a=stencil_to_dia(s_l, dtype=dtype),
+            inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+            inv_l1=jnp.asarray(inv_l1, dtype=dtype),
+            lam_max=jnp.asarray(lam, dtype=dtype),
+            shape=shape,
+            p_w=jnp.asarray(weights[l], dtype=dtype) if has_next else None,
+            strides=stride_list[l] if has_next else (2, 2, 2),
+        ))
+    coarse_inv = _dense_inverse(stencil_to_csr(stencils[-1]))
+    device = StructuredHierarchy(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
+        params=params,
+    )
+    stats.t_setup = time.perf_counter() - t0
+    return StructuredSetupResult(device, stats, params, stencils=stencils,
+                                 weights=weights, strides=stride_list)
+
+
+def _setup_trilinear(a: CSR, grid_shape, params: AMGParams,
+                     dtype) -> StructuredSetupResult:
+    """θ-blind fallback: fixed trilinear P, Galerkin RAP via CSR SpGEMM.
+
+    Handles any banded operator (e.g. 125-point degree-2 stencils that the
+    3³ stencil algebra cannot represent)."""
+    t0 = time.perf_counter()
+    from .hierarchy import _make_stats
 
     a_mats = [a.astype(dtype)]
     p_mats = []
@@ -98,15 +207,33 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
             lam_max=jnp.asarray(lam, dtype=dtype),
             shape=shape,
         ))
-    coarse = a_mats[-1].to_dense().astype(np.float64)
-    try:
-        coarse_inv = np.linalg.inv(coarse)
-    except np.linalg.LinAlgError:
-        coarse_inv = np.linalg.pinv(coarse)
+    coarse_inv = _dense_inverse(a_mats[-1])
     device = StructuredHierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
         params=params,
     )
     stats.t_setup = time.perf_counter() - t0
-    return StructuredSetupResult(a_mats, p_mats, device, stats, params)
+    return StructuredSetupResult(device, stats, params,
+                                 a_mats_eager=a_mats, p_mats_eager=p_mats)
+
+
+def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
+                     **kw) -> StructuredSetupResult:
+    """Build the all-banded hierarchy for a matrix on `grid_shape`."""
+    if params is None:
+        params = AMGParams(**kw)
+    dtype = params.dtype or a.data.dtype
+    assert int(np.prod(grid_shape)) == a.nrows, (grid_shape, a.nrows)
+
+    if params.structured_interp == "operator":
+        s0 = csr_to_stencil(a, grid_shape)
+        if s0 is not None:
+            # the whole stencil setup (weights, RAP, diag stats) runs in
+            # the hierarchy dtype — f32 halves host traffic and the coarse
+            # operators only serve the preconditioner
+            if s0.dtype != np.dtype(dtype):
+                s0 = s0.astype(dtype)
+            return _setup_operator(a, s0, grid_shape, params, dtype)
+        # wider than 3³ (degree ≥ 2 FEM) — θ-blind geometric fallback
+    return _setup_trilinear(a, grid_shape, params, dtype)

@@ -107,3 +107,65 @@ def restrict(fv, fine_shape):
     x = _down1(x, 1)
     x = _down1(x, 2)
     return x.reshape(-1)
+
+
+# -- operator-induced (weighted) transfers -----------------------------------
+# P carried as a (27, nx, ny, nz) weight stencil (amg/boxmg.py): W[k][i] is
+# the interpolation weight from coarse point at fine position i + DIRS[k].
+# Both directions are pure pad/slice/multiply chains — gather-free, fused by
+# XLA, and the θ-sensitive replacement for the fixed trilinear pair above.
+
+def _interleave(c, n: int, axis: int):
+    """m coarse values → n fine values placed at positions 2i+1, 0 elsewhere."""
+    c = jnp.moveaxis(c, axis, 0)
+    m = c.shape[0]
+    assert m == coarse_size(n), (m, n)
+    f = jnp.stack([jnp.zeros_like(c), c], axis=1)
+    f = f.reshape((2 * m,) + c.shape[1:])
+    if n > 2 * m:
+        f = jnp.pad(f, ((0, n - 2 * m),) + ((0, 0),) * (c.ndim - 1))
+    return jnp.moveaxis(f, 0, axis)
+
+
+def _dirs27():
+    from .boxmg import DIRS
+
+    return DIRS
+
+
+def prolongate_w(c, w, fine_shape, strides=(2, 2, 2)):
+    """xf = P xc with weight stencil w; c flat coarse, returns flat fine.
+
+    f[i] = Σ_k W[k][i] · inject(c)[i + d_k]   (zero past the boundary).
+    Stride-1 axes (not coarsened — θ-driven semicoarsening) are identity."""
+    nx, ny, nz = fine_shape
+    cs = tuple(coarse_size(s) if st == 2 else s
+               for s, st in zip(fine_shape, strides))
+    f0 = c.reshape(cs)
+    for ax, (n, st) in enumerate(zip(fine_shape, strides)):
+        if st == 2:
+            f0 = _interleave(f0, n, ax)
+    fp = jnp.pad(f0, 1)
+    out = jnp.zeros(fine_shape, dtype=c.dtype)
+    for k, (dx, dy, dz) in enumerate(_dirs27()):
+        out = out + w[k] * fp[1 + dx: 1 + dx + nx,
+                              1 + dy: 1 + dy + ny,
+                              1 + dz: 1 + dz + nz]
+    return out.reshape(-1)
+
+
+def restrict_w(fv, w, fine_shape, strides=(2, 2, 2)):
+    """xc = Pᵀ xf with weight stencil w (exact adjoint of prolongate_w).
+
+    c[J] = Σ_k (W[k] ⊙ f)[x_J − d_k],  x_J = 2J+1 per stride-2 axis."""
+    nx, ny, nz = fine_shape
+    r3 = fv.reshape(fine_shape)
+    acc = jnp.zeros(fine_shape, dtype=fv.dtype)
+    for k, (dx, dy, dz) in enumerate(_dirs27()):
+        pp = jnp.pad(w[k] * r3, 1)
+        acc = acc + pp[1 - dx: 1 - dx + nx,
+                       1 - dy: 1 - dy + ny,
+                       1 - dz: 1 - dz + nz]
+    sl = tuple(slice(1, None, 2) if st == 2 else slice(None)
+               for st in strides)
+    return acc[sl].reshape(-1)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..amg.structured_mg import StructuredLevel
-from ..amg.transfer import prolongate, restrict
+from ..amg.transfer import prolongate, prolongate_w, restrict, restrict_w
 from ..sparse.ell import spmv
 from .ops import op_matvec
 from .smoothers import apply_smoother
@@ -45,7 +45,13 @@ def _cycle(h, l, b):
 
     r = b - op_matvec(lev.a, x)
     structured = isinstance(lev, StructuredLevel)
-    bc = restrict(r, lev.shape) if structured else spmv(lev.r, r)
+    weighted = structured and lev.p_w is not None
+    if weighted:
+        bc = restrict_w(r, lev.p_w, lev.shape, lev.strides)
+    elif structured:
+        bc = restrict(r, lev.shape)
+    else:
+        bc = spmv(lev.r, r)
     # γ-cycle: approximately solve A_c e = bc with γ recursive cycles
     # (γ=1 → V-cycle, γ=2 → W-cycle)
     gamma = 1 if params.cycle_type == "V" else 2
@@ -53,7 +59,12 @@ def _cycle(h, l, b):
     for _ in range(gamma - 1):
         rc = bc - op_matvec(h.levels[l + 1].a, xc)
         xc = xc + _cycle(h, l + 1, rc)
-    x = x + (prolongate(xc, lev.shape) if structured else spmv(lev.p, xc))
+    if weighted:
+        x = x + prolongate_w(xc, lev.p_w, lev.shape, lev.strides)
+    elif structured:
+        x = x + prolongate(xc, lev.shape)
+    else:
+        x = x + spmv(lev.p, xc)
 
     for _ in range(params.n_post_smooth):
         x = apply_smoother(lev, x, b, params)

@@ -1,0 +1,216 @@
+"""Operator-induced structured interpolation (θ-sensitive TPU fast path).
+
+Oracles: CSR SpGEMM for the stencil-algebra RAP, explicit adjoint identity
+for the weighted transfers, trilinear equivalence where PFMG uses
+geometric weights, and θ-monotonicity of the iteration count on
+jumping-coefficient diffusion (the property the whole dataset/ANN story
+rests on — reference common/amg_solver.h:30).
+"""
+
+import numpy as np
+import pytest
+
+from amg_ann_tpu.amg import AMGParams
+from amg_ann_tpu.amg.boxmg import (
+    choose_strides, csr_to_stencil, dir_index, interp_csr, interp_weights,
+    rap_stencil, stencil_diag_stats, stencil_to_csr, stencil_to_dia,
+)
+from amg_ann_tpu.amg.structured_mg import setup_structured
+from amg_ann_tpu.amg.transfer import prolongate_w, restrict_w
+from amg_ann_tpu.fem import (
+    anisotropic_27pt, diffusion_7pt, jumping_coefficient_field, poisson_7pt,
+)
+from amg_ann_tpu.solvers import amg_solve
+from amg_ann_tpu.sparse.dia import dia_spmv
+from amg_ann_tpu.sparse.spgemm import spgemm
+
+
+def _jump_operator(n=12, seed=0, span=6.0):
+    rng = np.random.default_rng(seed)
+    kappa = jumping_coefficient_field(n, 4, rng.uniform(0, span, 64), mode=3)
+    return diffusion_7pt(kappa)
+
+
+class TestStencilFormat:
+    def test_csr_roundtrip(self):
+        a = _jump_operator()
+        s = csr_to_stencil(a, (12, 12, 12))
+        assert s is not None
+        np.testing.assert_allclose(stencil_to_csr(s).to_dense(),
+                                   a.to_dense(), rtol=1e-14)
+
+    def test_wide_stencil_rejected(self):
+        from amg_ann_tpu.fem.structured import StructuredDiffusion
+
+        p = StructuredDiffusion(pattern_size=2, refinements=2, degree=2)
+        a, _, _ = p.build()
+        n = p.n_nodes_1d
+        assert csr_to_stencil(a, (n, n, n)) is None
+
+    def test_dia_matches_csr(self, rng):
+        a = _jump_operator()
+        s = csr_to_stencil(a, (12, 12, 12))
+        d = stencil_to_dia(s)
+        x = rng.random(a.nrows)
+        np.testing.assert_allclose(np.asarray(dia_spmv(d, x)), a.matvec(x),
+                                   rtol=1e-12)
+
+
+class TestInterpolation:
+    def test_rap_matches_spgemm_two_levels(self):
+        a = _jump_operator()
+        s = csr_to_stencil(a, (12, 12, 12))
+        for theta in (0.1, 0.5, 0.9):
+            w = interp_weights(s, theta)
+            p = interp_csr(w)
+            ac = rap_stencil(s, w)
+            oracle = spgemm(p.transpose(), spgemm(stencil_to_csr(s), p))
+            got = stencil_to_csr(ac).to_dense()
+            np.testing.assert_allclose(got, oracle.to_dense(), atol=1e-12)
+            # level 2 (27-point fine operator, positive entries present)
+            w2 = interp_weights(ac, theta)
+            p2 = interp_csr(w2)
+            ac2 = rap_stencil(ac, w2)
+            oracle2 = spgemm(p2.transpose(), spgemm(stencil_to_csr(ac), p2))
+            scale = np.abs(oracle2.to_dense()).max()
+            np.testing.assert_allclose(stencil_to_csr(ac2).to_dense(),
+                                       oracle2.to_dense(), atol=1e-12 * scale)
+
+    def test_rap_semicoarsening_matches_spgemm(self):
+        a = anisotropic_27pt(8)
+        s = csr_to_stencil(a, (8, 8, 8))
+        strides = choose_strides(s, 0.9)
+        assert strides != (2, 2, 2), "anisotropy must trigger semicoarsening"
+        w = interp_weights(s, 0.9, strides=strides)
+        p = interp_csr(w, strides)
+        ac = rap_stencil(s, w, strides)
+        oracle = spgemm(p.transpose(), spgemm(a, p))
+        np.testing.assert_allclose(stencil_to_csr(ac).to_dense(),
+                                   oracle.to_dense(), atol=1e-12)
+
+    def test_isotropic_always_full_coarsening(self):
+        s = csr_to_stencil(poisson_7pt(8), (8, 8, 8))
+        for theta in (0.05, 0.5, 0.99):
+            assert choose_strides(s, theta) == (2, 2, 2)
+
+    def test_trilinear_where_uncoupled(self):
+        """7-point fine operator: coarse-cell interior points have no
+        operator coupling to the coarse lattice → PFMG geometric weights."""
+        s = csr_to_stencil(poisson_7pt(8), (8, 8, 8))
+        w = interp_weights(s, 0.25)
+        # (2,2,2): all-even point, 8 corner neighbors at weight 1/8
+        for d in ((1, 1, 1), (-1, 1, 1), (-1, -1, -1)):
+            assert w[dir_index(d)][2, 2, 2] == pytest.approx(0.125)
+        # C point identity
+        assert w[dir_index((0, 0, 0))][1, 3, 5] == 1.0
+
+    def test_rowsum_preservation(self):
+        """Interpolation reproduces constants where the fine operator has
+        zero row sum (interior rows of the Galerkin level-1 operator)."""
+        a = _jump_operator()
+        s = csr_to_stencil(a, (12, 12, 12))
+        s1 = rap_stencil(s, interp_weights(s, 0.25))
+        w1 = interp_weights(s1, 0.25)
+        rowsum_a = s1.sum(axis=0)
+        wsum = w1.sum(axis=0)
+        interior = np.abs(rowsum_a) < 1e-10 * np.abs(s1[13])
+        # interpolating interior rows sum to 1 (zero rows are the
+        # deliberate smoother-only F points of the strict θ policy)
+        interp_rows = interior & (wsum != 0)
+        assert interp_rows.sum() > 0
+        assert np.all(np.abs(wsum[interp_rows] - 1.0) < 1e-8)
+
+    def test_theta_changes_weights(self):
+        a = _jump_operator(seed=3)
+        s = csr_to_stencil(a, (12, 12, 12))
+        s1 = rap_stencil(s, interp_weights(s, 0.25))
+        w_lo = interp_weights(s1, 0.05)
+        w_hi = interp_weights(s1, 0.9)
+        assert np.abs(w_lo - w_hi).max() > 1e-3
+
+
+class TestWeightedTransfers:
+    def test_adjoint_and_csr_equivalence(self, rng):
+        a = _jump_operator(n=10, seed=1)
+        s = csr_to_stencil(a, (10, 10, 10))
+        w = interp_weights(s, 0.4)
+        p = interp_csr(w)
+        c = rng.random(p.ncols)
+        f = rng.random(p.nrows)
+        pf = np.asarray(prolongate_w(c, w, (10, 10, 10)))
+        np.testing.assert_allclose(pf, p.matvec(c), rtol=1e-12, atol=1e-14)
+        lhs = pf @ f
+        rhs = c @ np.asarray(restrict_w(f, w, (10, 10, 10)))
+        assert lhs == pytest.approx(rhs, rel=1e-12)
+
+    def test_adjoint_semicoarsened(self, rng):
+        a = anisotropic_27pt(8)
+        s = csr_to_stencil(a, (8, 8, 8))
+        strides = choose_strides(s, 0.9)
+        w = interp_weights(s, 0.9, strides=strides)
+        p = interp_csr(w, strides)
+        c = rng.random(p.ncols)
+        f = rng.random(p.nrows)
+        pf = np.asarray(prolongate_w(c, w, (8, 8, 8), strides))
+        np.testing.assert_allclose(pf, p.matvec(c), rtol=1e-12, atol=1e-14)
+        lhs = pf @ f
+        rhs = c @ np.asarray(restrict_w(f, w, (8, 8, 8), strides))
+        assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+class TestThetaSensitivity:
+    def test_niters_monotone_on_jumps(self):
+        """Iteration count must genuinely respond to θ — the signal the
+        dataset/ANN pipeline trains on."""
+        n = 16
+        rng = np.random.default_rng(7)
+        kappa = jumping_coefficient_field(n, 4, rng.uniform(0, 6, 64), mode=3)
+        a = diffusion_7pt(kappa)
+        b = a.matvec(rng.random(n**3))
+        iters = {}
+        for th in (0.05, 0.5, 0.9):
+            r = amg_solve(a, b, AMGParams(smoother="chebyshev",
+                                          strong_threshold=th),
+                          grid_shape=(n, n, n), rtol=1e-8, tol=0.0,
+                          maxiter=300)
+            assert r.converged
+            iters[th] = r.niters
+        assert iters[0.05] < iters[0.9], iters
+
+    def test_solver_stats_hierarchy_shapes_theta_independent(self):
+        """Geometric coarsening ⇒ one compiled solve per grid size across a
+        θ-sweep (isotropic problems; the property TPU datagen relies on)."""
+        a = _jump_operator(n=8, seed=2)
+        shapes = set()
+        for th in (0.1, 0.5, 0.9):
+            h = setup_structured(a, (8, 8, 8),
+                                 AMGParams(strong_threshold=th))
+            shapes.add(tuple((lev.shape, lev.a.offsets)
+                             for lev in h.device.levels))
+        assert len(shapes) == 1
+
+    def test_semicoarsening_helps_anisotropy(self):
+        n = 16
+        a = anisotropic_27pt(n)
+        b = a.matvec(np.random.default_rng(0).random(n**3))
+        res = {}
+        for th in (0.02, 0.9):
+            r = amg_solve(a, b, AMGParams(smoother="chebyshev",
+                                          strong_threshold=th),
+                          grid_shape=(n, n, n), rtol=1e-8, tol=0.0,
+                          maxiter=500)
+            assert r.converged
+            res[th] = r.niters
+        assert res[0.9] < res[0.02], res
+
+
+class TestDiagStats:
+    def test_matches_csr(self):
+        a = _jump_operator()
+        s = csr_to_stencil(a, (12, 12, 12))
+        inv_d, inv_l1, lam = stencil_diag_stats(s)
+        np.testing.assert_allclose(inv_d, 1.0 / a.diagonal(), rtol=1e-13)
+        rows, _, vals = a.row_expand()
+        l1 = np.bincount(rows, weights=np.abs(vals), minlength=a.nrows)
+        np.testing.assert_allclose(inv_l1, 1.0 / l1, rtol=1e-13)
+        assert lam > 0
