@@ -20,7 +20,7 @@ from ..amg.structured_mg import StructuredLevel
 from ..amg.transfer import prolongate, prolongate_w, restrict, restrict_w
 from ..sparse.ell import spmv
 from .ops import op_matvec
-from .smoothers import apply_smoother
+from .smoothers import smooth_rx
 
 
 def vcycle(h, b):
@@ -39,11 +39,14 @@ def _cycle(h, l, b):
     # Shape contract (classical mode): vectors at level l have length
     # lev.a.data.shape[0] (possibly row-padded for sharding); padding rows
     # are all-zero and stay zero throughout.
+    # Residual-carrying pre-smoothing: x starts at 0 so r = b (no A·0
+    # product), and the smoother's final recurrence residual IS b − A x —
+    # the restriction input comes for free instead of via an extra matvec.
     x = jnp.zeros_like(b)
+    r = b
     for _ in range(params.n_pre_smooth):
-        x = apply_smoother(lev, x, b, params)
+        x, r = smooth_rx(lev, x, b, params, r=r, want_residual=True)
 
-    r = b - op_matvec(lev.a, x)
     structured = isinstance(lev, StructuredLevel)
     weighted = structured and lev.p_w is not None
     if weighted:
@@ -67,5 +70,5 @@ def _cycle(h, l, b):
         x = x + spmv(lev.p, xc)
 
     for _ in range(params.n_post_smooth):
-        x = apply_smoother(lev, x, b, params)
+        x, _ = smooth_rx(lev, x, b, params)
     return x

@@ -28,15 +28,39 @@ def _on_tpu() -> bool:
 PALLAS_MIN_ROWS = 100_000
 
 
+def _use_pallas(op) -> bool:
+    # Pallas path: f32 only — XLA's x64-rewrite pass cannot process
+    # f64 pallas custom-calls (and f64 on TPU is emulated anyway)
+    return (isinstance(op, DIA) and _on_tpu() and op.cols == 128
+            and op.n >= PALLAS_MIN_ROWS and op.data.dtype == jnp.float32)
+
+
 def op_matvec(op, x):
     """y = op @ x for ELL or DIA operands."""
     if isinstance(op, DIA):
-        # Pallas path: f32 only — XLA's x64-rewrite pass cannot process
-        # f64 pallas custom-calls (and f64 on TPU is emulated anyway)
-        if (_on_tpu() and op.cols == 128 and op.n >= PALLAS_MIN_ROWS
-                and op.data.dtype == jnp.float32):
+        if _use_pallas(op):
             return dia_spmv_fast(op, x)
         return dia_spmv(op, x)
     if isinstance(op, ELL):
         return ell_spmv(op, x)
     raise TypeError(f"unknown operator type {type(op)!r}")
+
+
+def op_smooth_step(op, x, r, d, s, c_a, c_b):
+    """One residual-carrying smoother step (solvers/smoothers.py):
+
+        t = A d;  x' = x + d;  r' = r − t;  d' = c_a·d + c_b·(s ⊙ r')
+
+    On TPU DIA operands this is ONE fused Pallas kernel (matvec + all
+    elementwise updates, one pass over HBM); elsewhere XLA fuses the
+    elementwise tail around the matvec.
+    """
+    if _use_pallas(op):
+        from ..sparse.dia import dia_smooth_step_fast
+
+        return dia_smooth_step_fast(op, x, r, d, s, c_a, c_b)
+    t = op_matvec(op, d)
+    x2 = x + d
+    r2 = r - t
+    d2 = c_a * d + c_b * (s * r2)
+    return x2, r2, d2

@@ -4,11 +4,90 @@ TPU-native choice: hypre's default hybrid Gauss–Seidel is sequential per
 row; these polynomial/diagonal smoothers are pure SpMV + AXPY chains that
 XLA fuses, and (crucially) are *fixed linear operators*, keeping the
 V-cycle a legal SPD preconditioner for CG.
+
+All three share one residual-carrying recurrence over (x, r, d):
+
+    t  = A d
+    x' = x + d,   r' = r − t          (r tracks b − A x exactly)
+    d' = c_a d + c_b · s ⊙ r'         (s = D⁻¹ or D_ℓ1⁻¹)
+
+which lets the V-cycle (a) skip the A·0 product on entry (x starts at 0 ⇒
+r = b), (b) reuse the smoother's final residual for the restriction
+instead of recomputing b − A x, and (c) — on TPU — execute the whole step
+as ONE fused Pallas kernel (sparse/pallas_spmv.dia_smooth_step) instead of
+a matvec plus a chain of elementwise ops.
 """
 
 from __future__ import annotations
 
-from .ops import op_matvec
+import jax.numpy as jnp
+
+from .ops import op_matvec, op_smooth_step
+
+
+def _coeffs(lev, params):
+    """(s, c_a(rho), c_b(rho), rho0, theta_c) for the unified recurrence."""
+    if params.smoother == "jacobi":
+        omega = 1.0 / lev.lam_max
+        return lev.inv_diag, omega
+    if params.smoother == "l1jacobi":
+        return lev.inv_l1, 1.0
+    raise ValueError(f"unknown smoother {params.smoother!r}")
+
+
+def smooth_rx(lev, x, b, params, r=None, want_residual=False):
+    """One smoother application; returns (x', r') with r' = b − A x'
+    (r' is None unless want_residual).
+
+    r: the CURRENT residual b − A x if the caller knows it (pass b when
+    x == 0); None → computed here with one matvec.
+    """
+    if params.smoother == "chebyshev":
+        return _chebyshev_rx(lev, x, b, params, r, want_residual)
+
+    s, scale = _coeffs(lev, params)
+    if r is None:
+        r = b - op_matvec(lev.a, x)
+    d = scale * (s * r)
+    if want_residual:
+        x, r, _ = op_smooth_step(lev.a, x, r, d, s, 0.0, 0.0)
+        return x, r
+    return x + d, None
+
+
+def _chebyshev_rx(lev, x, b, params, r, want_residual):
+    """Chebyshev polynomial smoother on D⁻¹A over [f·λ_max, λ_max].
+
+    Standard three-term recurrence (Ifpack2/hypre style); eig_fraction is
+    hypre's ChebyshevEigRatio default 0.3.
+    """
+    degree = params.cheb_degree
+    eig_fraction = 0.3
+    lmax = lev.lam_max
+    lmin = eig_fraction * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    if r is None:
+        r = b - op_matvec(lev.a, x)
+    d = (lev.inv_diag * r) / theta
+    rho = 1.0 / sigma1
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        x, r, d = op_smooth_step(lev.a, x, r, d, lev.inv_diag,
+                                 rho_new * rho, 2.0 * rho_new / delta)
+        rho = rho_new
+    if want_residual:
+        x, r, _ = op_smooth_step(lev.a, x, r, d, lev.inv_diag, 0.0, 0.0)
+        return x, r
+    return x + d, None
+
+
+def apply_smoother(lev, x, b, params):
+    """Single smoother application x ← S(x, b) (residual discarded)."""
+    x, _ = smooth_rx(lev, x, b, params)
+    return x
 
 
 def jacobi(lev, x, b, omega=None):
@@ -25,11 +104,8 @@ def l1_jacobi(lev, x, b):
 
 
 def chebyshev(lev, x, b, degree: int = 2, eig_fraction: float = 0.3):
-    """Chebyshev polynomial smoother on D⁻¹A over [f·λ_max, λ_max].
-
-    Standard three-term recurrence (Ifpack2/hypre style); eig_fraction is
-    hypre's ChebyshevEigRatio default 0.3.
-    """
+    """Reference (non-fused) Chebyshev recurrence — kept as the oracle the
+    fused smooth_rx path is tested against."""
     lmax = lev.lam_max
     lmin = eig_fraction * lmax
     theta = 0.5 * (lmax + lmin)
@@ -48,14 +124,3 @@ def chebyshev(lev, x, b, degree: int = 2, eig_fraction: float = 0.3):
         d = rho_new * rho * d + (2.0 * rho_new / delta) * z
         rho = rho_new
     return x + d
-
-
-def apply_smoother(lev, x, b, params):
-    """Dispatch on AMGParams.smoother (static string)."""
-    if params.smoother == "jacobi":
-        return jacobi(lev, x, b)
-    if params.smoother == "l1jacobi":
-        return l1_jacobi(lev, x, b)
-    if params.smoother == "chebyshev":
-        return chebyshev(lev, x, b, degree=params.cheb_degree)
-    raise ValueError(f"unknown smoother {params.smoother!r}")

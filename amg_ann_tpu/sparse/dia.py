@@ -144,6 +144,40 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     return y.reshape(-1)[: a.n] if a.n != rc else y.reshape(-1)
 
 
+def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b):
+    """Fused smoother step (solvers/ops.op_smooth_step contract) via the
+    Pallas kernel: t = A d; x' = x+d; r' = r−t; d' = c_a d + c_b (s⊙r').
+
+    Falls back to matvec + elementwise when the matrix is too small for
+    the kernel's clamped window (3·halo > R)."""
+    from .pallas_spmv import (
+        LANES, dia_smooth_step_pallas, halo_rows,
+    )
+
+    rr = a.data.shape[1]
+    rc = rr * LANES
+    h = halo_rows(a.offsets)
+    if a.cols != LANES or 3 * h > rr:
+        t = dia_spmv(a, d)
+        x2 = x + d
+        r2 = r - t
+        return x2, r2, c_a * d + c_b * (s * r2)
+
+    def pad(v):
+        return jnp.pad(v, (0, rc - v.shape[0])) if v.shape[0] != rc else v
+
+    coef = jnp.stack([jnp.asarray(c_a, dtype=a.data.dtype),
+                      jnp.asarray(c_b, dtype=a.data.dtype)])
+    xo, ro, do = dia_smooth_step_pallas(
+        a.data, pad(x).reshape(rr, LANES), pad(r).reshape(rr, LANES),
+        pad(d).reshape(rr, LANES), pad(s).reshape(rr, LANES), coef,
+        a.offsets)
+    n = a.n
+    unpad = (lambda v: v.reshape(-1)[:n]) if n != rc else (
+        lambda v: v.reshape(-1))
+    return unpad(xo), unpad(ro), unpad(do)
+
+
 def _interp_call(ps, data, xp, offsets):
     # interpret-mode twin of dia_spmv_pallas for CPU testing
     import functools

@@ -113,6 +113,102 @@ def _dia_kernel_nopad(offsets, block_rows, halo, nrows, x_hbm, d_ref, o_ref,
     )
 
 
+def _dia_smooth_kernel(offsets, block_rows, halo, nrows, d_hbm, a_ref,
+                       x_ref, r_ref, s_ref, coef_ref, xo_ref, ro_ref,
+                       do_ref, sem):
+    """Fused smoother step: t = A d; x' = x+d; r' = r−t; d' = c_a d +
+    c_b (s ⊙ r'). Same clamped-window d DMA as _dia_kernel_nopad; all
+    other operands ride BlockSpec VMEM blocks. coef = (c_a, c_b) in SMEM
+    (traced scalars — λ_max lives on device)."""
+    i = pl.program_id(0)
+    copy = block_rows + 2 * halo
+    win = block_rows + 4 * halo
+    start = i * jnp.int32(block_rows) - jnp.int32(halo)
+    clamped = jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                          jnp.int32(nrows - copy))
+    delta = start - clamped
+
+    def body(dv):
+        dv[pl.ds(0, halo), :] = jnp.zeros((halo, LANES), dtype=d_hbm.dtype)
+        dv[pl.ds(copy + halo, halo), :] = jnp.zeros((halo, LANES),
+                                                    dtype=d_hbm.dtype)
+        dma = pltpu.make_async_copy(
+            d_hbm.at[pl.ds(clamped, copy)],
+            dv.at[pl.ds(halo, copy)], sem)
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((block_rows, LANES), dtype=ro_ref.dtype)
+        for k, (r, s) in enumerate(_decompose(offsets)):
+            base = 2 * halo + r + delta
+            if s == 0:
+                shifted = dv[pl.ds(base, block_rows), :]
+            else:
+                hi = dv[pl.ds(base, block_rows), pl.ds(s, LANES - s)]
+                lo = dv[pl.ds(base + 1, block_rows), pl.ds(0, s)]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            acc = acc + a_ref[k] * shifted
+        d_blk = dv[pl.ds(2 * halo + delta, block_rows), :]
+        r_new = r_ref[:, :] - acc
+        xo_ref[:, :] = x_ref[:, :] + d_blk
+        ro_ref[:, :] = r_new
+        do_ref[:, :] = coef_ref[0] * d_blk + coef_ref[1] * (
+            s_ref[:, :] * r_new)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((win, LANES), d_hbm.dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
+def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
+                           block_rows: int | None = None):
+    """Fused (x', r', d') smoother step on (R, 128) operands.
+
+    coef: shape-(2,) f32 array (c_a, c_b). Requires the nopad-kernel
+    window contract 3·halo ≤ R (callers fall back to the unfused path
+    otherwise)."""
+    k, r, lanes = data.shape
+    assert lanes == LANES
+    h = halo_rows(offsets)
+    if block_rows is None:
+        vmem_budget = 4 * 1024 * 1024
+        target = max(8, min(r, vmem_budget // (max(k, 1) * LANES * 4)))
+        block_rows = 1
+        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
+            block_rows *= 2
+        while block_rows > 1 and block_rows + 2 * h > r:
+            block_rows //= 2
+    assert r % block_rows == 0, (r, block_rows)
+    assert block_rows + 2 * h <= r, "matrix too small for the fused kernel"
+    grid = r // block_rows
+
+    kernel = functools.partial(_dia_smooth_kernel, offsets, block_rows, h, r)
+    blk = lambda: pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # d: manual halo DMA
+            pl.BlockSpec((k, block_rows, LANES),
+                         lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM),
+            blk(), blk(), blk(),                 # x, r, s
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(blk(), blk(), blk()),
+        out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * k + 5) * r * LANES,
+            bytes_accessed=(k + 7) * r * LANES * 4,
+            transcendentals=0,
+        ),
+    )(d2d, data, x2d, r2d, s2d, coef)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
 def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
     """Unpadded-x variant: data (K, R, 128), x2d (R, 128) → y (R, 128)."""

@@ -9,6 +9,11 @@ rests on — reference common/amg_solver.h:30).
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
+
+
+def jnp_zeros(n):
+    return jnp.zeros(n)
 
 from amg_ann_tpu.amg import AMGParams
 from amg_ann_tpu.amg.boxmg import (
@@ -214,3 +219,60 @@ class TestDiagStats:
         l1 = np.bincount(rows, weights=np.abs(vals), minlength=a.nrows)
         np.testing.assert_allclose(inv_l1, 1.0 / l1, rtol=1e-13)
         assert lam > 0
+
+
+class TestFusedSmoother:
+    def test_smooth_rx_matches_reference_chebyshev(self, rng):
+        """The residual-carrying fused recurrence must reproduce the plain
+        three-term Chebyshev smoother exactly (same operator)."""
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+        from amg_ann_tpu.solvers.smoothers import chebyshev, smooth_rx
+
+        a = poisson_7pt(8)
+        h = setup_structured(a, (8, 8, 8), AMGParams(smoother="chebyshev"))
+        lev = h.device.levels[0]
+        b = rng.random(a.nrows)
+        x0 = rng.random(a.nrows)
+        params = h.params
+        ref = np.asarray(chebyshev(lev, x0, b, degree=params.cheb_degree))
+        got, r_out = smooth_rx(lev, x0, b, params, want_residual=True)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_out),
+                                   b - a.matvec(np.asarray(got)),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_smooth_rx_residual_seed(self, rng):
+        """Passing the known residual must not change the smoother output."""
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+        from amg_ann_tpu.solvers.smoothers import smooth_rx
+
+        a = poisson_7pt(8)
+        for sm in ("jacobi", "l1jacobi", "chebyshev"):
+            h = setup_structured(a, (8, 8, 8), AMGParams(smoother=sm))
+            lev = h.device.levels[0]
+            b = rng.random(a.nrows)
+            x1, _ = smooth_rx(lev, jnp_zeros(a.nrows), b, h.params)
+            x2, _ = smooth_rx(lev, jnp_zeros(a.nrows), b, h.params, r=b)
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                       rtol=1e-12)
+
+    def test_fused_kernel_interpret_matches(self, rng):
+        """dia_smooth_step_fast (Pallas path, interpret-equivalent jnp
+        fallback) equals the unfused arithmetic."""
+        from amg_ann_tpu.sparse.dia import (
+            dia_smooth_step_fast, dia_spmv, from_csr_dia,
+        )
+
+        a = poisson_7pt(8, dtype=np.float32)
+        dm = from_csr_dia(a)
+        n = a.nrows
+        x, r, d, s = (rng.random(n).astype(np.float32) for _ in range(4))
+        c_a, c_b = 0.3, 0.7
+        xo, ro, do = dia_smooth_step_fast(dm, x, r, d, s, c_a, c_b)
+        t = np.asarray(dia_spmv(dm, d))
+        np.testing.assert_allclose(np.asarray(xo), x + d, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ro), r - t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(do),
+                                   c_a * d + c_b * (s * (r - t)),
+                                   rtol=1e-5, atol=1e-6)
