@@ -40,6 +40,39 @@ def _local_spmv(data_loc, x_ext, offsets, halo: int, nb: int):
     return y
 
 
+import dataclasses as _dc
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass
+class HaloDIA:
+    """The per-device shard of a DIA operator INSIDE a shard_map region.
+
+    data: (K, n_loc) local flat coefficient rows; offsets are the global
+    flat offsets. A matvec exchanges `halo` entries with each ring
+    neighbor (two ppermutes, overlapping local compute under XLA's async
+    collectives) and runs the shifted multiply-add locally — this is
+    dist/halo.py's kernel as a first-class operator usable by the
+    smoother/cycle machinery (solvers/ops.op_matvec dispatches on it), so
+    the halo exchange lives INSIDE the V-cycle.
+    """
+
+    data: jax.Array
+    offsets: tuple = _dc.field(metadata=dict(static=True))
+    axis: str = _dc.field(metadata=dict(static=True))
+    halo: int = _dc.field(metadata=dict(static=True))
+    ndev: int = _dc.field(metadata=dict(static=True))
+
+    def matvec(self, x_loc):
+        fwd = [(i, (i + 1) % self.ndev) for i in range(self.ndev)]
+        bwd = [(i, (i - 1) % self.ndev) for i in range(self.ndev)]
+        from_left = jax.lax.ppermute(x_loc[-self.halo:], self.axis, fwd)
+        from_right = jax.lax.ppermute(x_loc[:self.halo], self.axis, bwd)
+        x_ext = jnp.concatenate([from_left, x_loc, from_right])
+        return _local_spmv(self.data, x_ext, self.offsets, self.halo,
+                           x_loc.shape[0])
+
+
 def halo_spmv_shardmap(a: DIA, mesh: Mesh, axis: str = "rows"):
     """Build (spmv_fn, shard) for matrix `a` distributed over `mesh`.
 

@@ -31,20 +31,26 @@ class PCGResult(NamedTuple):
 
 
 def pcg(matvec: Callable, precond: Callable, b, x0, *, tol=0.0, rtol=0.0,
-        maxiter: int = 100) -> PCGResult:
+        maxiter: int = 100, dot: Callable | None = None) -> PCGResult:
     """Solve A x = b with CG preconditioned by `precond` (a linear op).
 
     Pure/traceable — callers jit the enclosing solve (amg_solver._jit_solve)
     so the hierarchy rides along as a pytree argument and closures don't
     defeat jit caching. tol: absolute threshold on ‖z‖ (0 disables).
     rtol: relative to ‖z_0‖.
+
+    dot: inner product (default jnp.vdot). Inside a shard_map region pass
+    a psum-reducing dot so the Krylov scalars are global (dist/structured).
     """
+    if dot is None:
+        dot = jnp.vdot
+    nrm = lambda v: jnp.sqrt(dot(v, v))
     dtype = b.dtype
     r = b - matvec(x0)
     z = precond(r)
     p = z
-    rz = jnp.vdot(r, z)
-    norm0 = jnp.linalg.norm(z)
+    rz = dot(r, z)
+    norm0 = nrm(z)
     threshold = jnp.maximum(tol, rtol * norm0).astype(dtype)
 
     hist = jnp.full(maxiter + 1, jnp.nan, dtype=dtype)
@@ -57,14 +63,14 @@ def pcg(matvec: Callable, precond: Callable, b, x0, *, tol=0.0, rtol=0.0,
     def body(state):
         x, r, z, p, rz, k, hist, _ = state
         ap = matvec(p)
-        alpha = rz / jnp.vdot(p, ap)
+        alpha = rz / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        norm = jnp.linalg.norm(z)
+        norm = nrm(z)
         hist = hist.at[k + 1].set(norm)
         return x, r, z, p, rz_new, k + 1, hist, norm
 

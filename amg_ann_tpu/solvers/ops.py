@@ -36,13 +36,17 @@ def _use_pallas(op) -> bool:
 
 
 def op_matvec(op, x):
-    """y = op @ x for ELL or DIA operands."""
+    """y = op @ x for ELL, DIA, or shard-local HaloDIA operands."""
     if isinstance(op, DIA):
         if _use_pallas(op):
             return dia_spmv_fast(op, x)
         return dia_spmv(op, x)
     if isinstance(op, ELL):
         return ell_spmv(op, x)
+    from ..dist.halo import HaloDIA
+
+    if isinstance(op, HaloDIA):
+        return op.matvec(x)
     raise TypeError(f"unknown operator type {type(op)!r}")
 
 
