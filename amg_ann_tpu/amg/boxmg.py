@@ -123,6 +123,13 @@ def choose_strides(s: np.ndarray, theta: float) -> tuple:
         for ax in range(3):
             if d[ax] != 0:
                 coup[ax] += ab
+    return strides_from_couplings(coup, theta, shape)
+
+
+def strides_from_couplings(coup, theta: float, shape) -> tuple:
+    """The stride decision given per-axis couplings (shared with the
+    device setup, which computes `coup` on the TPU)."""
+    coup = np.asarray(coup, dtype=float)
     cmax = coup.max()
     if cmax <= 0:
         return tuple(2 if n >= 2 else 1 for n in shape)

@@ -1,0 +1,252 @@
+"""Device-side (jitted) structured AMG setup — boxmg.py on the TPU.
+
+Why: the host-side setup's cost on a tunnel-attached TPU is dominated by
+shipping the per-level weight/operator arrays to the device (~70 MB at
+64³), and a θ-sweep pays it per θ. Here the ONLY upload is the fine-level
+stencil (θ-independent — uploaded once per problem), and everything else
+— strength filtering, interpolation weights, the Galerkin RAP
+contraction, diagonal/ℓ1/λ_max stats, the dense coarse inverse — runs on
+device under jit with θ as a TRACED scalar: one compiled executable per
+(shape, strides, slot-set) serves every θ in a sweep.
+
+The math is the exact jnp twin of amg/boxmg.py (same masks, same term
+enumeration); boxmg.py remains the host/testing oracle, and
+tests/test_boxmg.py pins the two against each other.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .boxmg import (DIRS, K_CENTER, _DJ_TABLE1, _DJ_TABLE2, _geo_masks,
+                    dir_index)
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "mrs"))
+def interp_weights_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
+    """jnp twin of boxmg.interp_weights (θ traced)."""
+    shape = s.shape[1:]
+    dt = s.dtype
+    diag = s[K_CENTER]
+    offd = np.ones(27, dtype=bool)
+    offd[K_CENTER] = False
+
+    neg = jnp.minimum(s, 0.0)
+    pos = jnp.maximum(s, 0.0)
+    neg_sum = neg[offd].sum(axis=0)
+    pos_sum = pos[offd].sum(axis=0)
+
+    sign = jnp.where(diag > 0, dt.type(-1.0), dt.type(1.0))
+    meas = sign[None] * s
+    meas = meas.at[K_CENTER].set(0.0)
+    row_max = jnp.maximum(meas, 0.0).max(axis=0)
+    theta = jnp.asarray(theta).astype(dt)
+    strong = (meas > 0) & (meas >= theta * row_max[None])
+    strong = strong.at[K_CENTER].set(False)
+
+    row_sum = s.sum(axis=0)
+    weak_row = jnp.abs(row_sum) > dt.type(mrs) * jnp.abs(diag) \
+        if mrs < 1.0 else jnp.zeros(shape, dtype=bool)
+
+    geo = jnp.asarray(_geo_masks(shape, strides))
+
+    use = geo & strong
+    has_strong_geo = use.any(axis=0)
+    geo_coupled = jnp.where(geo, jnp.abs(s), 0.0).sum(axis=0) > 0
+    c_neg = jnp.where(use, neg, 0.0).sum(axis=0)
+    c_pos = jnp.where(use, pos, 0.0).sum(axis=0)
+    use_pos = geo & (pos > 0) & has_strong_geo[None]
+    c_pos = c_pos + jnp.where(use_pos & ~use, pos, 0.0).sum(axis=0)
+    use = use | use_pos
+
+    lump = c_pos == 0
+    diag_eff = jnp.where(lump, diag + pos_sum, diag)
+    safe = lambda num, den: jnp.where(den != 0,
+                                      num / jnp.where(den == 0, 1, den), 0.0)
+    alpha = safe(neg_sum, c_neg)
+    beta = jnp.where(lump, 0.0, safe(pos_sum, c_pos))
+
+    w = jnp.where(use, -(alpha[None] * neg + beta[None] * pos), 0.0)
+    w = jnp.where(diag_eff[None] != 0,
+                  w / jnp.where(diag_eff == 0, 1, diag_eff)[None], 0.0)
+
+    # trilinear fallback for structurally-uncoupled points (static masks)
+    geo_np = _geo_masks(shape, strides)
+    n_geo = geo_np.sum(axis=0)
+    k_even = sum((((np.arange(n) % 2) == 0) if st == 2
+                  else np.zeros(n, dtype=bool)).reshape(
+        [-1 if ax == i else 1 for i in range(3)]).astype(np.int64)
+        for ax, (n, st) in enumerate(zip(shape, strides)))
+    tri = jnp.asarray(
+        np.where(geo_np, (0.5 ** k_even)[None], 0.0).astype(s.dtype))
+    w = jnp.where((~geo_coupled & jnp.asarray(n_geo > 0))[None], tri, w)
+    w = jnp.where((geo_coupled & ~has_strong_geo)[None], 0.0, w)
+    w = jnp.where(weak_row[None], 0.0, w)
+
+    odd = [((np.arange(n) % 2) == 1) if st == 2 else np.ones(n, dtype=bool)
+           for n, st in zip(shape, strides)]
+    c_mask = jnp.asarray(odd[0][:, None, None] & odd[1][None, :, None]
+                         & odd[2][None, None, :])
+    w = jnp.where(c_mask[None], 0.0, w)
+    w = w.at[K_CENTER].set(jnp.where(c_mask, dt.type(1.0), w[K_CENTER]))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "a_slots"))
+def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None):
+    """jnp twin of boxmg.rap_stencil; a_slots = static tuple of the A
+    stencil slots that can be nonzero (all 27 when None)."""
+    shape = s.shape[1:]
+    m = tuple(n // st for n, st in zip(shape, strides))
+    tables = [_DJ_TABLE2 if st == 2 else _DJ_TABLE1 for st in strides]
+    pad = ((0, 0), (2, 2), (2, 2), (2, 2))
+    sp = jnp.pad(s, pad)
+    wp = jnp.pad(w, pad)
+    if a_slots is None:
+        a_slots = tuple(range(27))
+
+    def sub(arr_k, t):
+        sl = tuple(
+            slice(2 + (st - 1) + t[ax], 2 + (st - 1) + t[ax] + st * m[ax], st)
+            for ax, st in enumerate(strides))
+        return arr_k[sl]
+
+    acc = {k: jnp.zeros(m, dtype=s.dtype) for k in range(27)}
+    for d1 in DIRS:
+        # on stride-1 axes W is axis-diagonal: skip statically
+        if any(st == 1 and d != 0 for st, d in zip(strides, d1)):
+            continue
+        k1 = dir_index((-d1[0], -d1[1], -d1[2]))
+        w1 = sub(wp[k1], d1)
+        for ka in a_slots:
+            da = DIRS[ka]
+            wa = w1 * sub(sp[ka], d1)
+            t2 = (d1[0] + da[0], d1[1] + da[1], d1[2] + da[2])
+            for dx2, djx in tables[0][t2[0]]:
+                for dy2, djy in tables[1][t2[1]]:
+                    for dz2, djz in tables[2][t2[2]]:
+                        if any(st == 1 and d != 0
+                               for st, d in zip(strides, (djx, djy, djz))):
+                            continue
+                        kj = dir_index((djx, djy, djz))
+                        kd = dir_index((dx2, dy2, dz2))
+                        acc[kd] = acc[kd] + wa * sub(wp[kj], t2)
+    return jnp.stack([acc[k] for k in range(27)])
+
+
+@jax.jit
+def level_stats_dev(s):
+    """(inv_diag, inv_l1, λ_gershgorin) flat, on device."""
+    diag = s[K_CENTER].reshape(-1)
+    absum = jnp.abs(s).sum(axis=0).reshape(-1)
+    inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag == 0, 1, diag), 0.0)
+    inv_l1 = jnp.where(absum != 0, 1.0 / jnp.where(absum == 0, 1, absum), 0.0)
+    lam = jnp.max(absum * jnp.abs(inv_diag))
+    return inv_diag, inv_l1, jnp.where(lam > 0, lam, 1.0)
+
+
+@jax.jit
+def stencil_matvec_dev(s, x):
+    """y = A x on device (flat x), pad+slice shifts."""
+    shape = s.shape[1:]
+    nx, ny, nz = shape
+    xp = jnp.pad(x.reshape(shape), 1)
+    y = jnp.zeros(shape, dtype=x.dtype)
+    for k, (dx, dy, dz) in enumerate(DIRS):
+        y = y + s[k] * xp[1 + dx: 1 + dx + nx, 1 + dy: 1 + dy + ny,
+                          1 + dz: 1 + dz + nz]
+    return y.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def lam_power_dev(s, inv_diag, iters: int = 12):
+    """Power-iteration λ_max(D⁻¹A) with a fixed deterministic start,
+    capped by the Gershgorin bound (host-path policy, device-side)."""
+    n = inv_diag.shape[0]
+    absum = jnp.abs(s).sum(axis=0).reshape(-1)
+    gersh = jnp.max(absum * jnp.abs(inv_diag))
+    gersh = jnp.where(gersh > 0, gersh, 1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (n,),
+                           dtype=inv_diag.dtype) - 0.5
+    x = x / (jnp.linalg.norm(x) + 1e-30)
+    lam = jnp.asarray(1.0, dtype=inv_diag.dtype)
+    for _ in range(iters):
+        y = inv_diag * stencil_matvec_dev(s, x)
+        lam = jnp.linalg.norm(y)
+        x = y / jnp.where(lam == 0, 1.0, lam)
+    return jnp.where(lam == 0, 1.0, jnp.minimum(1.1 * lam, gersh))
+
+
+@jax.jit
+def axis_couplings_dev(s):
+    """Σ|S_d| per axis over taps with d_ax ≠ 0 (choose_strides input)."""
+    out = []
+    for ax in range(3):
+        mask = np.array([d[ax] != 0 for d in DIRS])
+        out.append(jnp.abs(s[mask]).sum())
+    return jnp.stack(out)
+
+
+@jax.jit
+def nnz_count_dev(s):
+    return jnp.count_nonzero(s)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "npad", "r"))
+def _pack_dia(s, groups, npad, r):
+    rows = []
+    for g in groups:
+        v = s[g[0]].reshape(-1)
+        for k in g[1:]:
+            v = v + s[k].reshape(-1)
+        rows.append(jnp.pad(v, (0, npad)) if npad else v)
+    return jnp.stack(rows).reshape(len(groups), r, 128)
+
+
+def stencil_to_dia_dev(s, shape):
+    """Device (K, R, 128) DIA data + offsets from a device stencil
+    (slot k → flat offset; collisions on tiny grids summed)."""
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    flat_off = {}
+    for k, (dx, dy, dz) in enumerate(DIRS):
+        off = (dx * ny + dy) * nz + dz
+        flat_off.setdefault(off, []).append(k)
+    offs = sorted(flat_off)
+    npad = -n % 128
+    r = (n + npad) // 128
+    groups = tuple(tuple(flat_off[o]) for o in offs)
+    return _pack_dia(s, groups, npad, r), tuple(offs)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _dense_scatter(s, gather_idx, rows, cols, n):
+    vals = s.reshape(-1)[gather_idx]
+    dense = jnp.zeros((n, n), dtype=s.dtype)
+    return dense.at[rows, cols].add(vals)
+
+
+def dense_from_stencil_dev(s, shape):
+    """Dense (n, n) matrix from a (small) device stencil — the coarse
+    operator for the on-device inverse."""
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    flat = (x * ny + y) * nz + z
+    rows_l, cols_l, gidx_l = [], [], []
+    for k, (dx, dy, dz) in enumerate(DIRS):
+        xt, yt, zt = x + dx, y + dy, z + dz
+        ok = ((xt >= 0) & (xt < nx) & (yt >= 0) & (yt < ny)
+              & (zt >= 0) & (zt < nz))
+        rows_l.append(flat[ok])
+        cols_l.append(((xt * ny + yt) * nz + zt)[ok])
+        gidx_l.append(k * n + flat[ok])
+    return _dense_scatter(
+        s, jnp.asarray(np.concatenate(gidx_l)),
+        jnp.asarray(np.concatenate(rows_l)),
+        jnp.asarray(np.concatenate(cols_l)), n)

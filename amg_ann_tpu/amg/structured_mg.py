@@ -88,7 +88,8 @@ class StructuredSetupResult:
     @property
     def a_mats(self) -> list:
         if self.a_mats_eager is None:
-            self.a_mats_eager = [stencil_to_csr(s) for s in self.stencils]
+            self.a_mats_eager = [stencil_to_csr(np.asarray(s))
+                                 for s in self.stencils]
         return self.a_mats_eager
 
     strides: Optional[list] = None  # per-level coarsening patterns
@@ -96,7 +97,7 @@ class StructuredSetupResult:
     @property
     def p_mats(self) -> list:
         if self.p_mats_eager is None:
-            self.p_mats_eager = [interp_csr(w, st) for w, st in
+            self.p_mats_eager = [interp_csr(np.asarray(w), st) for w, st in
                                  zip(self.weights, self.strides)]
         return self.p_mats_eager
 
@@ -167,6 +168,89 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
                                  weights=weights, strides=stride_list)
 
 
+def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
+                           a_slots) -> StructuredSetupResult:
+    """θ-sensitive setup computed ON DEVICE (amg/boxmg_device.py).
+
+    The only host↔device traffic: the fine stencil upload (done by the
+    caller, θ-independent), three coupling scalars per level for the
+    semicoarsening decision, and the per-level nnz counts for the stats.
+    One compiled executable per (shape, strides, slots) serves every θ —
+    a sweep recompiles nothing. λ_max follows the host policy: Gershgorin
+    on big levels, on-device power iteration on coarse ones.
+    """
+    import jax as _jax
+
+    from .boxmg import strides_from_couplings
+    from .boxmg_device import (axis_couplings_dev, dense_from_stencil_dev,
+                               interp_weights_dev, lam_power_dev,
+                               level_stats_dev, nnz_count_dev,
+                               rap_stencil_dev, stencil_to_dia_dev)
+
+    t0 = time.perf_counter()
+    theta = params.strong_threshold
+    stencils = [s0_dev]
+    weights = []
+    stride_list = []
+    slot_list = [tuple(a_slots)]
+    shapes = [tuple(grid_shape)]
+    while (int(np.prod(shapes[-1])) > params.max_coarse_size
+           and len(stencils) < params.max_levels
+           and max(shapes[-1]) >= 2):
+        coup = np.asarray(axis_couplings_dev(stencils[-1]))
+        strides = strides_from_couplings(coup, theta, shapes[-1])
+        if 2 not in strides:
+            break
+        w = interp_weights_dev(stencils[-1], theta, strides=strides,
+                               mrs=params.max_row_sum)
+        s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
+                              a_slots=slot_list[-1])
+        stencils.append(s_c)
+        weights.append(w)
+        stride_list.append(strides)
+        slot_list.append(tuple(range(27)))
+        shapes.append(tuple(coarse_size(s) if st == 2 else s
+                            for s, st in zip(shapes[-1], strides)))
+
+    levels = []
+    nnz_dev = []
+    for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
+        inv_diag, inv_l1, lam = level_stats_dev(s_l)
+        if int(np.prod(shape)) <= 100_000:
+            # small (coarse Galerkin) levels: Gershgorin is loose there —
+            # power-iterate on device (host-path policy)
+            lam = lam_power_dev(s_l, inv_diag)
+        data, offs = stencil_to_dia_dev(s_l, shape)
+        has_next = l < len(stencils) - 1
+        levels.append(StructuredLevel(
+            a=DIA(data=data, offsets=offs, n=int(np.prod(shape)), nnz=0),
+            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
+            shape=shape,
+            p_w=weights[l] if has_next else None,
+            strides=stride_list[l] if has_next else (2, 2, 2),
+        ))
+        nnz_dev.append(nnz_count_dev(s_l))
+    coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])
+    coarse_inv = jnp.linalg.inv(coarse)
+    # one host sync for the stats scalars (and to time the setup honestly)
+    nnz = [int(v) for v in _jax.device_get(nnz_dev)]
+    p_nnz_est = sum(int(np.prod(w.shape)) for w in weights)  # upper bound
+    rows = [int(np.prod(sh)) for sh in shapes]
+    stats = HierarchyStats(
+        n_levels=len(stencils), rows=rows, nnz=nnz,
+        sparsity=[z / max(r, 1) for z, r in zip(nnz, rows)],
+        grid_complexity=sum(rows) / max(rows[0], 1),
+        operator_complexity=sum(nnz) / max(nnz[0], 1),
+        memory_complexity=(sum(nnz) + p_nnz_est) / max(nnz[0], 1),
+    )
+    device = StructuredHierarchy(levels=tuple(levels),
+                                 coarse_inv=coarse_inv, params=params)
+    stats.t_setup = time.perf_counter() - t0
+    return StructuredSetupResult(device, stats, params,
+                                 stencils=stencils, weights=weights,
+                                 strides=stride_list)
+
+
 def _setup_trilinear(a: CSR, grid_shape, params: AMGParams,
                      dtype) -> StructuredSetupResult:
     """θ-blind fallback: fixed trilinear P, Galerkin RAP via CSR SpGEMM.
@@ -219,8 +303,15 @@ def _setup_trilinear(a: CSR, grid_shape, params: AMGParams,
 
 
 def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
+                     device_setup: bool | None = None,
                      **kw) -> StructuredSetupResult:
-    """Build the all-banded hierarchy for a matrix on `grid_shape`."""
+    """Build the all-banded hierarchy for a matrix on `grid_shape`.
+
+    device_setup: run the θ-sensitive setup on the accelerator
+    (amg/boxmg_device.py) — the only upload is the fine stencil, and a
+    θ-sweep reuses one compiled setup per shape. Defaults to True on
+    TPU backends, False elsewhere (the host path is the testing oracle).
+    """
     if params is None:
         params = AMGParams(**kw)
     dtype = params.dtype or a.data.dtype
@@ -234,6 +325,12 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
             # operators only serve the preconditioner
             if s0.dtype != np.dtype(dtype):
                 s0 = s0.astype(dtype)
+            if device_setup is None:
+                device_setup = jax.default_backend() in ("tpu", "axon")
+            if device_setup:
+                a_slots = tuple(k for k in range(27) if np.any(s0[k]))
+                return _setup_operator_device(jnp.asarray(s0), grid_shape,
+                                              params, dtype, a_slots)
             return _setup_operator(a, s0, grid_shape, params, dtype)
         # wider than 3³ (degree ≥ 2 FEM) — θ-blind geometric fallback
     return _setup_trilinear(a, grid_shape, params, dtype)

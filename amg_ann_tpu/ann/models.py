@@ -87,14 +87,22 @@ class ThetaCostModel(nn.Module):
 
     @nn.compact
     def __call__(self, view, params):
-        if self.cnn_type != "classic":
-            raise NotImplementedError(
-                f"cnn_type {self.cnn_type!r}; 'classic' is the shipped "
-                "configuration (the reference's Keras-applications backbones "
-                "are hyperparameter-search alternatives)")
         act = getattr(nn, self.act)
-        x = ClassicCNN(self.wide1, self.depth1, self.wide2, self.depth2,
-                       self.kernel_size, self.act, self.dtype)(view)
+        if self.cnn_type == "classic":
+            x = ClassicCNN(self.wide1, self.depth1, self.wide2, self.depth2,
+                           self.kernel_size, self.act, self.dtype)(view)
+        else:
+            from .backbones import BACKBONE_TABLE, DROPPED_BACKBONES
+
+            if self.cnn_type in BACKBONE_TABLE:
+                x = BACKBONE_TABLE[self.cnn_type](self.act, self.dtype)(view)
+            elif self.cnn_type in DROPPED_BACKBONES:
+                raise NotImplementedError(
+                    f"cnn_type {self.cnn_type!r} is covered by the "
+                    f"{DROPPED_BACKBONES[self.cnn_type]!r} family here — "
+                    "see ann/backbones.py (documented drop)")
+            else:
+                raise NotImplementedError(f"cnn_type {self.cnn_type!r}")
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(self.bottleneck, kernel_init=KERNEL_INIT,
                      dtype=self.dtype)(x)

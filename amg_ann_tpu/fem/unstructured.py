@@ -238,6 +238,42 @@ def _plate_with_hole_mesh(m: int) -> TetMesh:
         m, lambda c: np.linalg.norm(c[:, :2], axis=1) > 0.4)
 
 
+def _replicate_holes_mesh(m: int) -> TetMesh:
+    """3×2×1 array of unit cubes each pierced by a cylindrical hole along
+    z (tc1's ReplicateHoles: hyper_cube_with_cylindrical_hole replicated
+    {3,2,1}, main.cpp:311-313)."""
+    base = _cube_mesh(m)
+    reps = (3, 2, 1)
+    verts_l, tets_l, base_l = [], [], []
+    off_v = 0
+    cell_off = 0
+    for ix in range(reps[0]):
+        for iy in range(reps[1]):
+            for iz in range(reps[2]):
+                shift = np.array([2.0 * ix, 2.0 * iy, 2.0 * iz])
+                verts_l.append(base.vertices + shift)
+                tets_l.append(base.tets + off_v)
+                base_l.append(base.base_cell + cell_off)
+                off_v += base.n_vertices
+                cell_off += base.base_cell.max() + 1
+    mesh = TetMesh(np.concatenate(verts_l), np.concatenate(tets_l),
+                   np.concatenate(base_l))
+    # merge duplicated interface vertices
+    verts, inv = np.unique(np.round(mesh.vertices, 12), axis=0,
+                           return_inverse=True)
+    mesh = TetMesh(verts, inv[mesh.tets], mesh.base_cell)
+    # carve the cylindrical holes (radius 0.4 of each replicated cube)
+    cent = mesh.vertices[mesh.tets].mean(axis=1)
+    local = ((cent[:, :2] + 1.0) % 2.0) - 1.0
+    keep = np.linalg.norm(local, axis=1) > 0.4
+    tets = mesh.tets[keep]
+    bc = mesh.base_cell[keep]
+    used = np.unique(tets)
+    remap = -np.ones(mesh.n_vertices, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    return TetMesh(mesh.vertices[used], remap[tets], bc)
+
+
 def _replicate_cross_mesh(m: int) -> TetMesh:
     """2×2×2 replicated '3-D plus' pattern: keep where at least two local
     coordinates are near the macro-cell center (tc1's ReplicateCross
@@ -261,6 +297,7 @@ MESH_GENERATORS = {
     "Torus": lambda: _torus_mesh(12, 4),
     "PlateWithHole": lambda: _plate_with_hole_mesh(8),
     "ReplicateCross": lambda: _replicate_cross_mesh(8),
+    "ReplicateHoles": lambda: _replicate_holes_mesh(6),
 }
 
 
@@ -308,7 +345,13 @@ class UnstructuredDiffusion:
     freq: float = np.pi
     seed: int = 0
     max_diffusion: float = 3.0
-    renumbering: str = "none"   # none | cuthill_mckee
+    degree: int = 1             # P1 | P2 | P3 Lagrange tets (datagen.py:22)
+    # the reference's four DoFRenumbering options (main.cpp:179-194):
+    # subdomain_wise / Cuthill_McKee / king_ordering / boost::Cuthill_McKee
+    renumbering: str = "none"   # none | cuthill_mckee | boost_cuthill_mckee
+    #                           # | king_ordering | subdomain_wise
+    n_subdomains: int = 1       # subdomain_wise partition count (the
+    #                           # reference runs 1 MPI rank ⇒ identity)
 
     def __post_init__(self):
         if self.mesh not in MESH_GENERATORS:
@@ -330,7 +373,11 @@ class UnstructuredDiffusion:
 
     @property
     def ndof(self):
-        return self._mesh.n_vertices
+        if getattr(self, "_dof_map", None) is None:
+            from .tet_elements import DofMap
+
+            self._dof_map = DofMap(self._mesh, self.degree)
+        return self._dof_map.ndof
 
     def mu_cells(self):
         """μ = 10^ε of the base-mesh ancestor (main.cpp:245-248 lookup)."""
@@ -339,58 +386,49 @@ class UnstructuredDiffusion:
     def exact(self) -> TensorSolution:
         return TensorSolution(self.sol_id, self.freq)
 
-    def _permutation(self, a: CSR):
+    def _permutation(self, a: CSR, dof_coords=None):
+        """perm[new] = old for the chosen DoF renumbering
+        (main.cpp:179-194 menu)."""
         if self.renumbering == "none":
             return None
-        if self.renumbering == "cuthill_mckee":
+        if self.renumbering in ("cuthill_mckee", "boost_cuthill_mckee"):
             import scipy.sparse as sp
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             g = sp.csr_matrix((np.ones_like(a.data), a.indices, a.indptr),
                               shape=a.shape)
-            return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
+            rcm = np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
+            # deal.II Cuthill_McKee = forward CM; boost::Cuthill_McKee
+            # reverses — both reduce bandwidth identically, the orders are
+            # mirror images
+            return rcm if self.renumbering == "cuthill_mckee" else rcm[::-1]
+        if self.renumbering == "king_ordering":
+            return king_ordering(a)
+        if self.renumbering == "subdomain_wise":
+            if self.n_subdomains <= 1 or dof_coords is None:
+                return None     # 1 rank ⇒ identity (the reference's case)
+            return subdomain_wise_ordering(dof_coords, self.n_subdomains)
         raise ValueError(f"unknown renumbering {self.renumbering!r}")
 
     def build(self, eliminate_columns: bool = True):
+        from .tet_elements import DofMap, assemble_load, assemble_stiffness
+
         mesh = self._mesh
-        v = mesh.vertices[mesh.tets]              # (nt, 4, 3)
-        d = v[:, 1:] - v[:, :1]                   # (nt, 3, 3) edge matrix
-        vol = np.abs(np.linalg.det(d)) / 6.0
-        # barycentric gradients: with edge matrix D (rows v_j − v_0),
-        # λ = D⁻ᵀ (x − v_0) ⇒ row j of D⁻ᵀ is ∇λ_{j+1}; ∇λ_0 = −Σ_j ∇λ_j
-        g123 = np.linalg.inv(np.swapaxes(d, 1, 2))  # (nt, 3, 3)
-        g0 = -g123.sum(axis=1, keepdims=True)
-        grads = np.concatenate([g0, g123], axis=1)  # (nt, 4, 3)
+        dm = DofMap(mesh, self.degree)
+        self._dof_map = dm
+        rows, cols, vals = assemble_stiffness(mesh, dm, self.mu_cells())
+        a = CSR.from_coo(rows, cols, vals, (dm.ndof, dm.ndof))
 
-        mu = self.mu_cells()
-        ke = (mu * vol)[:, None, None] * np.einsum(
-            "tid,tjd->tij", grads, grads)
-
-        t = mesh.tets
-        rows = np.repeat(t, 4, axis=1).reshape(-1)
-        cols = np.tile(t, (1, 4)).reshape(-1)
-        a = CSR.from_coo(rows, cols, ke.reshape(-1),
-                         (self.ndof, self.ndof))
-
-        # RHS: 4-point (degree-2) rule; NO μ in the integrand (tc1 parity,
-        # main.cpp:261-263)
+        # RHS: NO μ in the integrand (tc1 parity, main.cpp:261-263)
         ex = self.exact()
-        alpha, beta = 0.5854101966249685, 0.1381966011250105
-        qp_bary = np.full((4, 4), beta)
-        np.fill_diagonal(qp_bary, alpha)
-        pts = np.einsum("qa,tad->tqd", qp_bary, v)   # (nt, 4, 3)
-        f = ex.rhs(pts)                              # (nt, 4)
-        phi = qp_bary                                # φ_a at q = bary coords
-        be = np.einsum("tq,qa->ta", f, phi) * (vol / 4.0)[:, None]
-        b = np.bincount(t.reshape(-1), weights=be.reshape(-1),
-                        minlength=self.ndof)
+        b = assemble_load(mesh, dm, ex.rhs)
 
-        bidx = mesh.boundary_vertices()
-        bvals = ex.value(mesh.vertices[bidx])
+        bidx = dm.boundary
+        bvals = ex.value(dm.coords[bidx])
         a, b, x0 = apply_dirichlet(a, b, bidx, bvals,
                                    eliminate_columns=eliminate_columns)
 
-        perm = self._permutation(a)
+        perm = self._permutation(a, dm.coords)
         if perm is not None:
             inv = np.empty_like(perm)
             inv[perm] = np.arange(perm.size)
@@ -405,18 +443,78 @@ class UnstructuredDiffusion:
         """L2 error by the degree-5 Keast 14-point rule — a degree-2 rule
         cannot measure an O(h²) error functional (its quadrature error is
         the same order as the quantity itself)."""
+        from .tet_elements import l2_error
+
         if self._perm is not None:
-            # solution is in renumbered ordering; map back to vertex order:
-            # new = inv[old] in build(), so u_vertex = u[inv]
+            # solution is in renumbered ordering; map back to dof order:
+            # new = inv[old] in build(), so u_dof = u[inv]
             inv = np.empty_like(self._perm)
             inv[self._perm] = np.arange(self._perm.size)
             u = u[inv]
-        mesh = self._mesh
-        v = mesh.vertices[mesh.tets]
-        vol = mesh.volumes()
-        qp_bary, qw = _keast_degree5()
-        pts = np.einsum("qa,tad->tqd", qp_bary, v)
-        u_ex = self.exact().value(pts)
-        u_h = np.einsum("qa,ta->tq", qp_bary, u[mesh.tets])
-        return float(np.sqrt(np.sum((u_h - u_ex) ** 2
-                                    * vol[:, None] * qw[None, :])))
+        return l2_error(self._mesh, self._dof_map, u, self.exact().value)
+
+
+def king_ordering(a: CSR) -> np.ndarray:
+    """King ordering (boost::king_ordering analog, main.cpp:187-189):
+    BFS from a minimum-degree start; at every step number the frontier
+    vertex that introduces the fewest NEW frontier vertices (King's
+    wavefront-minimizing variant of Cuthill–McKee)."""
+    from collections import deque
+
+    n = a.nrows
+    indptr, indices = a.indptr, a.indices
+    deg = np.diff(indptr)
+    # Cuthill–McKee level traversal, but each vertex's unvisited neighbors
+    # are appended sorted by DYNAMIC out-degree (remaining unvisited
+    # neighbors) instead of static degree — boost's king variant.
+    outdeg = deg.astype(np.int64).copy()
+    visited = np.zeros(n, dtype=bool)
+    perm = np.empty(n, dtype=np.int64)
+    pos = 0
+
+    def visit(u):
+        visited[u] = True
+        for w in indices[indptr[u]: indptr[u + 1]]:
+            outdeg[w] -= 1
+
+    for comp_start in np.argsort(deg, kind="stable"):
+        if visited[comp_start]:
+            continue
+        visit(int(comp_start))
+        queue = deque([int(comp_start)])
+        while queue:
+            v = queue.popleft()
+            perm[pos] = v
+            pos += 1
+            nbrs = [int(u) for u in indices[indptr[v]: indptr[v + 1]]
+                    if not visited[u]]
+            nbrs.sort(key=lambda u: int(outdeg[u]))
+            for u in nbrs:
+                visit(u)
+                queue.append(u)
+    assert pos == n
+    return perm
+
+
+def subdomain_wise_ordering(coords: np.ndarray,
+                            n_subdomains: int) -> np.ndarray:
+    """DoFRenumbering::subdomain_wise analog: number dofs subdomain by
+    subdomain. Subdomains come from recursive coordinate bisection of the
+    dof cloud (the partition_triangulation stand-in; the reference runs a
+    single rank, where this is the identity)."""
+    n = coords.shape[0]
+    part = np.zeros(n, dtype=np.int64)
+
+    def split(idx, k, depth):
+        if k <= 1 or idx.size == 0:
+            return
+        ax = depth % 3
+        order = idx[np.argsort(coords[idx, ax], kind="stable")]
+        k_lo = k // 2
+        cut = idx.size * k_lo // k
+        part[order[cut:]] += k_lo
+        split(order[:cut], k_lo, depth + 1)
+        split(order[cut:], k - k_lo, depth + 1)
+
+    split(np.arange(n), n_subdomains, 0)
+    return np.argsort(part, kind="stable")

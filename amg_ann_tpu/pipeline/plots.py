@@ -126,3 +126,84 @@ def plot_feature_maps(maps: dict, sample: int = 0, max_channels: int = 16,
             plt.close(fig)
         figs.append(fig)
     return figs
+
+
+def plot_hexbin_proxies(proxy_df, save_path=None, gridsize=12):
+    """Hexbin joint plots of θ_argmin(t) against the hierarchy-size-proxy
+    argmins — the reference's data_analysis.py:16-59 figure: one panel per
+    proxy (Σn_k, Σnnz_k, Σ n_k·nnz_k, ρ), with the identity diagonal."""
+    proxies = [c for c in ("theta_nsum", "theta_nzsum", "theta_nnz",
+                           "theta_rho") if c in proxy_df.columns]
+    fig, axes = plt.subplots(1, len(proxies),
+                             figsize=(4 * len(proxies), 4), squeeze=False)
+    x = proxy_df["theta_t"].to_numpy(dtype=float)
+    lim = (min(0.0, x.min()), max(1.0, x.max()))
+    for ax, col in zip(axes[0], proxies):
+        y = proxy_df[col].to_numpy(dtype=float)
+        hb = ax.hexbin(x, y, gridsize=gridsize, extent=lim + lim,
+                       cmap="viridis", mincnt=1)
+        ax.plot(lim, lim, "r--", lw=1)
+        ax.set_xlabel(r"$\theta^* = \arg\min_\theta t$")
+        ax.set_ylabel(rf"$\arg\min$ {col.replace('theta_', '')}")
+        fig.colorbar(hb, ax=ax)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig
+
+
+def plot_sigma_bar_elbow(study: dict, save_path=None):
+    """σ̄-elbow figure (model_evaluation.py:568-643): the sorted √err
+    curve with the detected elbow, and the cumulative fraction of bad
+    predictions kept when filtering at each threshold."""
+    err = np.asarray(study["err_sorted"], dtype=float)
+    frac = np.asarray(study["frac_bad_cum"], dtype=float)
+    idx = int(study["elbow_index"])
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
+    ax1.plot(err, label=r"$\sqrt{\hat\sigma}$ (sorted desc.)")
+    ax1.axvline(idx, color="r", ls="--",
+                label=rf"elbow → $\bar\sigma$={study['sigma_bar']:.3g}")
+    ax1.set_xlabel("problem rank")
+    ax1.set_ylabel(r"$\sqrt{\hat\sigma}$")
+    ax1.legend()
+    ax2.plot(frac)
+    ax2.axvline(idx, color="r", ls="--")
+    ax2.set_xlabel("problems kept (ranked by uncertainty)")
+    ax2.set_ylabel("cumulative fraction with P < 0")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig
+
+
+def plot_cost_scaling(perf_df, save_path=None):
+    """Cost-scaling regression figure (model_evaluation.py:430-565):
+    t/ndof against ndof (log-x) per degree, default θ vs ANN-predicted θ*,
+    with the fitted log-linear trends."""
+    degrees = sorted(perf_df["degree"].unique())
+    fig, axes = plt.subplots(1, len(degrees),
+                             figsize=(4.5 * len(degrees), 4), squeeze=False)
+    for ax, deg in zip(axes[0], degrees):
+        g = perf_df[perf_df["degree"] == deg]
+        x = g["ndof"].to_numpy(dtype=float)
+        order = np.argsort(x)
+        for label, col, style in (("default θ=0.5", "t", "o-"),
+                                  ("ANN θ*", "t_interp", "s--")):
+            if col not in g.columns:
+                continue
+            y = g[col].to_numpy(dtype=float) / x
+            ax.plot(x[order], y[order], style, ms=4, label=label)
+            lx = np.log(x)
+            if len(g) >= 2 and np.ptp(lx) > 0:
+                slope, icept = np.polyfit(lx, y, 1)
+                ax.plot(x[order], slope * lx[order] + icept, ":",
+                        lw=1, color="k")
+        ax.set_xscale("log")
+        ax.set_xlabel("ndof")
+        ax.set_ylabel("t / ndof [µs]")
+        ax.set_title(f"degree {deg}")
+        ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig

@@ -195,7 +195,8 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
                          lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
             blk(), blk(), blk(),                 # x, r, s
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (i * 0,),  # i*0 keeps i32 under x64
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(blk(), blk(), blk()),
         out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,

@@ -87,10 +87,30 @@ def main():
 
     # warm-up with IDENTICAL static args (max_outer/inner_maxiter are jit
     # statics — different values would recompile inside the timed call)
-    ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
-
     res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
-    t_solve = res.t_solve / 1e6
+
+    # sustained timing: K identical back-to-back device solves dispatched
+    # asynchronously, ONE sync at the end — the axon tunnel costs
+    # ~50-100 ms per host round trip, which would otherwise dominate a
+    # ~5 ms solve (production = a stream of solves, so sustained
+    # throughput is the honest figure)
+    import jax.numpy as jnp
+
+    from amg_ann_tpu.solvers.refine import _ir_device
+    from amg_ann_tpu.sparse.dia import from_csr_dia
+
+    K = int(os.environ.get("BENCH_REPS", "10"))
+    hi_dtype = jnp.float64
+    a_hi = from_csr_dia(a, dtype=hi_dtype, max_offsets=64)
+    b_hi = jnp.asarray(b, dtype=hi_dtype)
+    args = (h.device, h.device.levels[0].a, a_hi, b_hi,
+            jnp.asarray(RTOL, hi_dtype), jnp.float32(1e-4), 20, 60)
+    out = _ir_device(*args)
+    jax.block_until_ready(out)          # warm this exact executable
+    t0 = time.perf_counter()
+    outs = [_ir_device(*args) for _ in range(K)]
+    jax.block_until_ready(outs[-1])
+    t_solve = (time.perf_counter() - t0) / K
 
     p_nnz = sum(p.nnz for p in h.p_mats)
     cyc_nnz = _vcycle_nnz(h.stats) + 2 * p_nnz

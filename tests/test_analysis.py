@@ -93,3 +93,42 @@ def test_cost_scaling_table():
     assert len(out) == 4
     pred = out[(out.curve == "predicted")]
     assert np.allclose(pred["slope"], 0.0, atol=1e-12)
+
+
+def test_figure_parity_plots(tmp_path):
+    """Hexbin / σ̄-elbow / cost-scaling figures (reference
+    data_analysis.py:16-59, model_evaluation.py:430-643)."""
+    from amg_ann_tpu.pipeline.analysis import (get_elbow_distance,
+                                               sigma_bar_study)
+    from amg_ann_tpu.pipeline.plots import (plot_cost_scaling,
+                                            plot_hexbin_proxies,
+                                            plot_sigma_bar_elbow)
+
+    rng = np.random.default_rng(0)
+    n = 40
+    proxy_df = pd.DataFrame({
+        "theta_t": rng.uniform(0, 1, n),
+        "theta_nsum": rng.uniform(0, 1, n),
+        "theta_nzsum": rng.uniform(0, 1, n),
+        "theta_nnz": rng.uniform(0, 1, n),
+        "theta_rho": rng.uniform(0, 1, n),
+    })
+    f1 = plot_hexbin_proxies(proxy_df, save_path=tmp_path / "hex.png")
+    assert (tmp_path / "hex.png").exists()
+
+    perf_df = pd.DataFrame({
+        "nn_err": rng.uniform(0, 0.5, n) ** 2,
+        "perf": rng.uniform(-0.2, 0.5, n),
+        "degree": rng.choice([1, 2], n),
+        "ndof": rng.choice([4096, 32768, 262144], n).astype(float),
+        "t": rng.uniform(1e5, 1e6, n),
+        "t_interp": rng.uniform(1e5, 1e6, n),
+    })
+    study = sigma_bar_study(perf_df, err_col="nn_err")
+    f2 = plot_sigma_bar_elbow(study, save_path=tmp_path / "elbow.png")
+    f3 = plot_cost_scaling(perf_df, save_path=tmp_path / "scaling.png")
+    assert (tmp_path / "elbow.png").exists()
+    assert (tmp_path / "scaling.png").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

@@ -150,3 +150,42 @@ class TestTraining:
         r2 = fit(m, view, pvec, tgt, epochs=5, batch_size=8, seed=0,
                  state=r1.state, lr=1e-4)
         assert r2.history[-1]["loss"] <= r1.history[0]["loss"]
+
+
+class TestBackbones:
+    """Alternative CNN backbones (reference CNN_MODEL_TABLE analog)."""
+
+    @pytest.mark.parametrize("cnn", ["mobilenet", "mobilenetv2",
+                                     "resnet50v2"])
+    def test_forward_and_grad(self, cnn):
+        import jax
+        import optax
+        from amg_ann_tpu.ann.models import ThetaCostModel, mse_mvar
+
+        model = ThetaCostModel(nparams=3, cnn_type=cnn, learn_err=True)
+        rng = jax.random.PRNGKey(0)
+        view = jnp.ones((2, 75, 75, 4), dtype=jnp.float32)
+        pvec = jnp.ones((2, 3), dtype=jnp.float32)
+        variables = model.init(rng, view, pvec)
+        out = model.apply(variables, view, pvec)
+        assert out.shape == (2, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert bool(jnp.all(out[:, 1] >= 0))      # softplus variance head
+
+        def loss_fn(params):
+            pred = model.apply({"params": params}, view, pvec)
+            return mse_mvar(jnp.zeros((2, 1)), pred)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    def test_dropped_backbones_point_to_family(self):
+        import jax
+        from amg_ann_tpu.ann.models import ThetaCostModel
+
+        model = ThetaCostModel(nparams=3, cnn_type="densenet121")
+        with pytest.raises(NotImplementedError, match="resnet50v2"):
+            model.init(jax.random.PRNGKey(0),
+                       jnp.ones((1, 16, 16, 4)), jnp.ones((1, 3)))

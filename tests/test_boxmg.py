@@ -276,3 +276,46 @@ class TestFusedSmoother:
         np.testing.assert_allclose(np.asarray(do),
                                    c_a * d + c_b * (s * (r - t)),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestDeviceSetup:
+    """amg/boxmg_device.py — the jitted setup must reproduce the host
+    oracle exactly (weights, coarse stencils, stats) and solve identically."""
+
+    def test_matches_host_oracle(self):
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+
+        a = _jump_operator(n=16, seed=0, span=4.0)
+        for th in (0.25, 0.9):
+            params = AMGParams(smoother="chebyshev", strong_threshold=th)
+            hh = setup_structured(a, (16, 16, 16), params,
+                                  device_setup=False)
+            hd = setup_structured(a, (16, 16, 16), params,
+                                  device_setup=True)
+            assert hh.stats.nnz == hd.stats.nnz
+            assert hh.strides == hd.strides
+            for sh, sd in zip(hh.stencils, hd.stencils):
+                scale = max(np.abs(sh).max(), 1e-30)
+                assert np.abs(np.asarray(sd) - sh).max() < 1e-12 * scale
+            for wh, wd in zip(hh.weights, hd.weights):
+                assert np.abs(np.asarray(wd) - wh).max() < 1e-12
+
+    def test_solve_with_device_hierarchy(self):
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+
+        a = _jump_operator(n=16, seed=2, span=4.0)
+        b = a.matvec(np.random.default_rng(0).random(a.nrows))
+        params = AMGParams(smoother="chebyshev")
+        hd = setup_structured(a, (16, 16, 16), params, device_setup=True)
+        hh = setup_structured(a, (16, 16, 16), params, device_setup=False)
+        rd = amg_solve(a, b, params, hierarchy=hd, rtol=1e-8, tol=0.0)
+        rh = amg_solve(a, b, params, hierarchy=hh, rtol=1e-8, tol=0.0)
+        assert rd.converged and rd.niters == rh.niters
+
+    def test_semicoarsening_through_device_path(self):
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+
+        a = anisotropic_27pt(16)
+        params = AMGParams(smoother="chebyshev", strong_threshold=0.9)
+        hd = setup_structured(a, (16, 16, 16), params, device_setup=True)
+        assert any(st != (2, 2, 2) for st in hd.strides)
