@@ -371,7 +371,8 @@ def interp_csr(w: np.ndarray, strides=(2, 2, 2)) -> CSR:
                         (nx * ny * nz, mx * my * mz))
 
 
-def stencil_to_dia(s: np.ndarray, dtype=None, cols: int = 128):
+def stencil_to_dia(s: np.ndarray, dtype=None, cols: int = 128,
+                   keep_all_slots: bool = False):
     """DIA operator straight from the stencil array (no CSR round trip).
 
     Flat offset of direction d on an (nx, ny, nz) grid with row-major flat
@@ -393,10 +394,15 @@ def stencil_to_dia(s: np.ndarray, dtype=None, cols: int = 128):
     nnz = 0
     for k, (dx, dy, dz) in enumerate(DIRS):
         sk = s[k]
-        cnt = int(np.count_nonzero(sk))
-        if cnt == 0:
+        # keep_all_slots: carry structurally-possible zero diagonals too —
+        # Galerkin levels of a θ-sweep then share one offsets tuple (and
+        # one compiled solve) even when a θ happens to zero a direction
+        if not (keep_all_slots or np.any(sk)):
             continue
-        nnz += cnt
+        # STRUCTURAL count (in-grid taps of this direction): θ-independent,
+        # so the DIA static metadata — and with it the jit cache key of the
+        # solve — is stable across a θ-sweep
+        nnz += (nx - abs(dx)) * (ny - abs(dy)) * (nz - abs(dz))
         off = (dx * ny + dy) * nz + dz
         acc = flat.setdefault(off, np.zeros(n, dtype=dtype))
         acc += sk.reshape(-1).astype(dtype)

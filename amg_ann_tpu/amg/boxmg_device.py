@@ -207,13 +207,17 @@ def _pack_dia(s, groups, npad, r):
     return jnp.stack(rows).reshape(len(groups), r, 128)
 
 
-def stencil_to_dia_dev(s, shape):
+def stencil_to_dia_dev(s, shape, slots=None):
     """Device (K, R, 128) DIA data + offsets from a device stencil
-    (slot k → flat offset; collisions on tiny grids summed)."""
+    (slot k → flat offset; collisions on tiny grids summed). `slots`
+    restricts to the statically-known nonzero directions (level 0)."""
     nx, ny, nz = shape
     n = nx * ny * nz
+    if slots is None:
+        slots = range(27)
     flat_off = {}
-    for k, (dx, dy, dz) in enumerate(DIRS):
+    for k in slots:
+        dx, dy, dz = DIRS[k]
         off = (dx * ny + dy) * nz + dz
         flat_off.setdefault(off, []).append(k)
     offs = sorted(flat_off)

@@ -62,6 +62,21 @@ class AMGParams:
 
     _SMOOTHERS = ("jacobi", "l1jacobi", "chebyshev")
 
+    def solve_view(self) -> "AMGParams":
+        """The SOLVE-relevant subset, with every setup-only field pinned
+        to a canonical value.
+
+        The device hierarchy carries its params as a jit-STATIC member;
+        storing the full params there would recompile the (θ-independent)
+        solve executable for every θ of a sweep. Only the fields the
+        V-cycle/smoother actually read survive canonicalization."""
+        return dataclasses.replace(
+            self, strong_threshold=0.0, max_row_sum=1.0,
+            aggressive_coarsening_num_levels=0, output_details=False,
+            max_levels=0, max_coarse_size=0, trunc_factor=0.0,
+            p_max_elements=0, shape_buckets=False, seed=0,
+            symmetric_operator=True, structured_interp="operator")
+
     def __post_init__(self):
         if self.smoother not in self._SMOOTHERS:
             raise ValueError(
@@ -276,5 +291,5 @@ def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
     return DeviceHierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
-        params=params,
+        params=params.solve_view(),
     )

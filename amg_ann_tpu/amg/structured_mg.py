@@ -149,7 +149,7 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
         lam = stencil_lam_max(s_l, inv_diag)
         has_next = l < len(stencils) - 1
         levels.append(StructuredLevel(
-            a=stencil_to_dia(s_l, dtype=dtype),
+            a=stencil_to_dia(s_l, dtype=dtype, keep_all_slots=(l > 0)),
             inv_diag=jnp.asarray(inv_diag, dtype=dtype),
             inv_l1=jnp.asarray(inv_l1, dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
@@ -161,7 +161,7 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
     device = StructuredHierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
-        params=params,
+        params=params.solve_view(),
     )
     stats.t_setup = time.perf_counter() - t0
     return StructuredSetupResult(device, stats, params, stencils=stencils,
@@ -220,7 +220,7 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             # small (coarse Galerkin) levels: Gershgorin is loose there —
             # power-iterate on device (host-path policy)
             lam = lam_power_dev(s_l, inv_diag)
-        data, offs = stencil_to_dia_dev(s_l, shape)
+        data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
         has_next = l < len(stencils) - 1
         levels.append(StructuredLevel(
             a=DIA(data=data, offsets=offs, n=int(np.prod(shape)), nnz=0),
@@ -244,7 +244,7 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
         memory_complexity=(sum(nnz) + p_nnz_est) / max(nnz[0], 1),
     )
     device = StructuredHierarchy(levels=tuple(levels),
-                                 coarse_inv=coarse_inv, params=params)
+                                 coarse_inv=coarse_inv, params=params.solve_view())
     stats.t_setup = time.perf_counter() - t0
     return StructuredSetupResult(device, stats, params,
                                  stencils=stencils, weights=weights,
@@ -295,7 +295,7 @@ def _setup_trilinear(a: CSR, grid_shape, params: AMGParams,
     device = StructuredHierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
-        params=params,
+        params=params.solve_view(),
     )
     stats.t_setup = time.perf_counter() - t0
     return StructuredSetupResult(device, stats, params,
@@ -303,14 +303,18 @@ def _setup_trilinear(a: CSR, grid_shape, params: AMGParams,
 
 
 def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
-                     device_setup: bool | None = None,
-                     **kw) -> StructuredSetupResult:
+                     device_setup: bool | None = None, stencil=None,
+                     a_slots=None, **kw) -> StructuredSetupResult:
     """Build the all-banded hierarchy for a matrix on `grid_shape`.
 
     device_setup: run the θ-sensitive setup on the accelerator
     (amg/boxmg_device.py) — the only upload is the fine stencil, and a
     θ-sweep reuses one compiled setup per shape. Defaults to True on
     TPU backends, False elsewhere (the host path is the testing oracle).
+
+    stencil: precomputed fine stencil (numpy or DEVICE array) — sweep
+    harnesses pass the device-resident stencil so a θ-sweep uploads the
+    operator exactly once.
     """
     if params is None:
         params = AMGParams(**kw)
@@ -318,6 +322,21 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
     assert int(np.prod(grid_shape)) == a.nrows, (grid_shape, a.nrows)
 
     if params.structured_interp == "operator":
+        if stencil is not None:
+            if device_setup is None:
+                device_setup = (isinstance(stencil, jax.Array)
+                                or jax.default_backend() in ("tpu", "axon"))
+            if device_setup:
+                if a_slots is None:
+                    a_slots = tuple(
+                        k for k in range(27)
+                        if (np.any(stencil[k])
+                            if isinstance(stencil, np.ndarray) else True))
+                s_dev = jnp.asarray(stencil, dtype=dtype)
+                return _setup_operator_device(s_dev, grid_shape, params,
+                                              dtype, a_slots)
+            s0 = np.asarray(stencil).astype(dtype, copy=False)
+            return _setup_operator(a, s0, grid_shape, params, dtype)
         s0 = csr_to_stencil(a, grid_shape)
         if s0 is not None:
             # the whole stencil setup (weights, RAP, diag stats) runs in

@@ -68,6 +68,12 @@ class SweepConfig:
     smoother: str = "l1jacobi"
     rtol_mode: bool = False  # True: treat tol as relative (TPU f32 runs)
     solver_mode: int = 1     # tc2.1 only: 0 eigen / 1 sweep / 2 view
+    # tc2 degree-1: sweep through the structured (all-DIA, θ-sensitive
+    # operator-interp) fast path in f32 — the TPU production solver. One
+    # stencil upload + one compiled setup/solve per grid shape serves the
+    # whole θ sweep, which is what makes reference-scale (≥10⁶ DoF)
+    # dataset generation viable on a single chip.
+    structured: bool = False
 
     @staticmethod
     def from_json(path: str) -> "SweepConfig":
@@ -100,7 +106,10 @@ def _build_tc2(cfg, cycle):
         _qjoin(list(map(float, p.epsv))), str(p.mode),
         str(int(time.time())),
     ])
-    return a, b, x0, prefix
+    if p.degree == 1:
+        n = p.n_nodes_1d
+        return a, b, x0, prefix, (n, n, n)
+    return a, b, x0, prefix, None
 
 
 def _build_tc1(cfg, cycle):
@@ -117,7 +126,7 @@ def _build_tc1(cfg, cycle):
         str(p.seed), _f(float(p.max_diffusion)), str(num_bas_ref),
         str(int(time.time())),
     ])
-    return a, b, x0, prefix
+    return a, b, x0, prefix, None
 
 
 def _build_tc3(cfg, cycle):
@@ -133,7 +142,7 @@ def _build_tc3(cfg, cycle):
         _f(float(p.max_young)), str(int(p.sharp)), "0",
         str(int(time.time())),
     ])
-    return a, b, x0, prefix
+    return a, b, x0, prefix, None
 
 
 def _build_tc21(cfg, cycle):
@@ -150,7 +159,7 @@ def _build_tc21(cfg, cycle):
         _f(float(p.diffusion_exp)),
         _qjoin(list(map(float, p.marked_point))),
     ])
-    return a, b, x0, prefix
+    return a, b, x0, prefix, None
 
 
 _BUILDERS = {APP_TC1: _build_tc1, APP_TC2: _build_tc2,
@@ -218,12 +227,15 @@ def run_config(cfg: SweepConfig, out_path: str) -> str:
             else:
                 fh.write(_sweep_header(cfg))
         for cycle in range(cfg.cycles):
-            a, b, x0, prefix = builder(cfg, cycle)
+            a, b, x0, prefix, grid_shape = builder(cfg, cycle)
             if cfg.app == APP_TC21 and cfg.solver_mode == 0:
                 _write_eigen_rows(fh, prefix, a, cfg)
             elif cfg.make_view or (cfg.app == APP_TC21
                                    and cfg.solver_mode == 2):
                 _write_view_row(fh, prefix, a, cfg.view_size)
+            elif cfg.structured and grid_shape is not None:
+                _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg,
+                                             grid_shape)
             else:
                 _write_sweep_rows(fh, prefix, a, b, x0, cfg)
     # every (problem, θ) pair compiles a distinct-shape solve executable;
@@ -286,6 +298,54 @@ def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
                 fields += [_f(cfg.tol), _f(res.t_amg_setup)]
                 if cfg.output_setup_details:
                     fields += res.hierarchy.stats.as_csv_fields()
+                fields += [_f(res.t_solve), str(res.niters),
+                           _qjoin(list(map(float, res.p_res)))]
+                fh.write(",".join(fields) + "\n")
+
+
+def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
+                                 grid_shape):
+    """θ-sweep through the structured fast path (SweepConfig.structured).
+
+    f32 solve to a RELATIVE tolerance (cfg.tol is interpreted relatively;
+    f32 PCG reaches ~1e-6 — pass tol=1e-6 for TPU-generated datasets; the
+    per-problem-normalized training target tnl is tolerance-level
+    agnostic). The fine stencil is built/uploaded ONCE; every θ re-runs
+    the same compiled setup+solve executables, so reference-scale grids
+    sweep in device time, not compile/transfer time."""
+    import jax.numpy as jnp
+
+    from ..amg.boxmg import csr_to_stencil
+    from ..amg.structured_mg import setup_structured
+
+    s0 = csr_to_stencil(a, grid_shape)
+    assert s0 is not None, "structured sweep needs a ≤27-point operator"
+    s0 = s0.astype(np.float32)
+    a_slots = tuple(k for k in range(27) if np.any(s0[k]))
+    import jax as _jax
+
+    on_dev = _jax.default_backend() in ("tpu", "axon")
+    stencil = jnp.asarray(s0) if on_dev else s0
+    naggr = cfg.aggressive_levels
+    for theta in _sweep_values(cfg.strong_threshold):
+        for mrs in _sweep_values(cfg.max_row_sum):
+            for sym in range(int(cfg.symmetric_operator[0]),
+                             int(cfg.symmetric_operator[1]) + 1):
+                params = AMGParams(
+                    symmetric_operator=bool(sym), strong_threshold=theta,
+                    max_row_sum=mrs,
+                    aggressive_coarsening_num_levels=naggr,
+                    smoother=cfg.smoother, dtype=np.float32)
+                h = setup_structured(a, grid_shape, params,
+                                     stencil=stencil, a_slots=a_slots)
+                res = amg_solve(a, b, params, x0=x0, hierarchy=h,
+                                rtol=cfg.tol, tol=0.0)
+                fields = [prefix, _f(theta), _f(mrs), str(sym)]
+                if _NAGGR_COLUMN[cfg.app]:
+                    fields.append(str(naggr))
+                fields += [_f(cfg.tol), _f(h.stats.t_setup * 1e6)]
+                if cfg.output_setup_details:
+                    fields += h.stats.as_csv_fields()
                 fields += [_f(res.t_solve), str(res.niters),
                            _qjoin(list(map(float, res.p_res)))]
                 fh.write(",".join(fields) + "\n")

@@ -73,7 +73,7 @@ def _apply_solve_params(hierarchy, params: AMGParams):
             old.smoother, old.cycle_type, old.n_pre_smooth,
             old.n_post_smooth, old.cheb_degree):
         return hierarchy
-    new_device = hierarchy.device.replace(params=params)
+    new_device = hierarchy.device.replace(params=params.solve_view())
     return dataclasses.replace(hierarchy, device=new_device, params=params)
 
 
