@@ -189,28 +189,57 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
 
     t0 = time.perf_counter()
     theta = params.strong_threshold
-    stencils = [s0_dev]
-    weights = []
-    stride_list = []
-    slot_list = [tuple(a_slots)]
-    shapes = [tuple(grid_shape)]
-    while (int(np.prod(shapes[-1])) > params.max_coarse_size
-           and len(stencils) < params.max_levels
-           and max(shapes[-1]) >= 2):
-        coup = np.asarray(axis_couplings_dev(stencils[-1]))
-        strides = strides_from_couplings(coup, theta, shapes[-1])
-        if 2 not in strides:
+
+    def build_chain(seed_stencils, seed_weights, seed_strides, seed_slots,
+                    seed_shapes, stride_fn):
+        """Extend the hierarchy using stride_fn(level_index, shape) —
+        returns per-level coupling DEVICE scalars alongside."""
+        stencils, weights = list(seed_stencils), list(seed_weights)
+        stride_list, slot_list = list(seed_strides), list(seed_slots)
+        shapes = list(seed_shapes)
+        coup_devs = []
+        while (int(np.prod(shapes[-1])) > params.max_coarse_size
+               and len(stencils) < params.max_levels
+               and max(shapes[-1]) >= 2):
+            coup_devs.append(axis_couplings_dev(stencils[-1]))
+            strides = stride_fn(len(stencils) - 1, shapes[-1], coup_devs[-1])
+            if strides is None or 2 not in strides:
+                break
+            w = interp_weights_dev(stencils[-1], theta, strides=strides,
+                                   mrs=params.max_row_sum)
+            s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
+                                  a_slots=slot_list[-1])
+            stencils.append(s_c)
+            weights.append(w)
+            stride_list.append(strides)
+            slot_list.append(tuple(range(27)))
+            shapes.append(tuple(coarse_size(s) if st == 2 else s
+                                for s, st in zip(shapes[-1], strides)))
+        return stencils, weights, stride_list, slot_list, shapes, coup_devs
+
+    # pass 1 — SPECULATIVE full coarsening: no host sync inside the loop
+    # (every round trip through the tunnel costs ~50 ms); couplings are
+    # collected on device and fetched ONCE afterwards for verification
+    full = lambda lv, shape, _c: tuple(2 if n >= 2 else 1 for n in shape)
+    (stencils, weights, stride_list, slot_list, shapes,
+     coup_devs) = build_chain([s0_dev], [], [], [tuple(a_slots)],
+                              [tuple(grid_shape)], full)
+    coups = _jax.device_get(coup_devs)
+    bad = None
+    for l, (c, sh) in enumerate(zip(coups, shapes)):
+        want = strides_from_couplings(c, theta, sh)
+        if l < len(stride_list) and want != stride_list[l]:
+            bad = l
             break
-        w = interp_weights_dev(stencils[-1], theta, strides=strides,
-                               mrs=params.max_row_sum)
-        s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
-                              a_slots=slot_list[-1])
-        stencils.append(s_c)
-        weights.append(w)
-        stride_list.append(strides)
-        slot_list.append(tuple(range(27)))
-        shapes.append(tuple(coarse_size(s) if st == 2 else s
-                            for s, st in zip(shapes[-1], strides)))
+    if bad is not None:
+        # anisotropic: rebuild from the first diverging level with the
+        # honest per-level decision (pays one fetch per remaining level)
+        per_level = lambda lv, shape, c_dev: strides_from_couplings(
+            np.asarray(c_dev), theta, shape)
+        (stencils, weights, stride_list, slot_list, shapes,
+         _) = build_chain(stencils[:bad + 1], weights[:bad],
+                          stride_list[:bad], slot_list[:bad + 1],
+                          shapes[:bad + 1], per_level)
 
     levels = []
     nnz_dev = []

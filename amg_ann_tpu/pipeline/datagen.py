@@ -238,12 +238,15 @@ def run_config(cfg: SweepConfig, out_path: str) -> str:
                                              grid_shape)
             else:
                 _write_sweep_rows(fh, prefix, a, b, x0, cfg)
-    # every (problem, θ) pair compiles a distinct-shape solve executable;
-    # long sweeps would otherwise exhaust process memory maps (observed:
-    # LLVM "Unable to allocate section memory" at vm.max_map_count)
-    import jax
+    # classical sweeps compile a distinct-shape solve per (problem, θ);
+    # long runs would otherwise exhaust process memory maps (observed:
+    # LLVM "Unable to allocate section memory" at vm.max_map_count).
+    # STRUCTURED sweeps are compile-stable by design (one executable per
+    # grid shape serves every θ/seed) — keep their caches hot.
+    if not cfg.structured:
+        import jax
 
-    jax.clear_caches()
+        jax.clear_caches()
     return out_path
 
 
