@@ -50,6 +50,10 @@ class AMGParams:
     # over one problem family reuse jitted solve executables instead of
     # recompiling per hierarchy shape (sweep harness turns this on)
     shape_buckets: bool = False
+    # classical coarse levels at or below this row count store their
+    # operators DENSELY — XLA's TPU gather runs the ELL SpMV ~600× below
+    # HBM speed of light, while a ≤2048² matmul is one MXU op
+    dense_coarse_threshold: int = 2048
     # structured-path interpolation: "operator" = θ-sensitive operator-
     # induced weights (amg/boxmg.py), "trilinear" = fixed geometric weights
     structured_interp: str = "operator"
@@ -75,7 +79,8 @@ class AMGParams:
             aggressive_coarsening_num_levels=0, output_details=False,
             max_levels=0, max_coarse_size=0, trunc_factor=0.0,
             p_max_elements=0, shape_buckets=False, seed=0,
-            symmetric_operator=True, structured_interp="operator")
+            symmetric_operator=True, structured_interp="operator",
+            dense_coarse_threshold=0)
 
     def __post_init__(self):
         if self.smoother not in self._SMOOTHERS:
@@ -264,13 +269,39 @@ def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
         ra_next = (row_granule(a_mats[l + 1].nrows)
                    if (bucketed and has_next) else 1)
         n_pad = -(-a_l.nrows // ra) * ra if bucketed else a_l.nrows
+
+        def _pad_dense(m, rp, cp):
+            out = np.zeros((rp, cp), dtype=dtype)
+            out[: m.shape[0], : m.shape[1]] = m
+            return jnp.asarray(out)
+
+        # coarse levels go DENSE: the ELL gather SpMV is the measured TPU
+        # bottleneck of the classical path (~0.11 Gnnz/s); a small matmul
+        # rides the MXU instead (sparse/ell.DenseOp)
+        dense = 0 < a_l.nrows <= params.dense_coarse_threshold and l > 0
+        if has_next:
+            n_next = a_mats[l + 1].nrows
+            np_next = -(-n_next // ra_next) * ra_next if bucketed else n_next
+        if dense:
+            a_op = ell_mod.DenseOp(
+                m=_pad_dense(a_l.to_dense(), n_pad, n_pad),
+                nrows=a_l.nrows, ncols=a_l.nrows)
+            p_op = (ell_mod.DenseOp(
+                m=_pad_dense(p_mats[l].to_dense(), n_pad, np_next),
+                nrows=p_mats[l].nrows, ncols=n_next) if has_next else None)
+            r_op = (ell_mod.DenseOp(
+                m=_pad_dense(p_mats[l].to_dense().T, np_next, n_pad),
+                nrows=n_next, ncols=p_mats[l].nrows) if has_next else None)
+        else:
+            a_op = ell_mod.from_csr(a_l, dtype=dtype, k_align=ka,
+                                    row_align=ra)
+            p_op = ell_mod.from_csr(p_mats[l], dtype=dtype, k_align=ka,
+                                    row_align=ra) if has_next else None
+            r_op = ell_mod.from_csr(p_mats[l].transpose(), dtype=dtype,
+                                    k_align=ka, row_align=ra_next) \
+                if has_next else None
         levels.append(DeviceLevel(
-            a=ell_mod.from_csr(a_l, dtype=dtype, k_align=ka, row_align=ra),
-            p=ell_mod.from_csr(p_mats[l], dtype=dtype, k_align=ka,
-                               row_align=ra) if has_next else None,
-            r=ell_mod.from_csr(p_mats[l].transpose(), dtype=dtype,
-                               k_align=ka, row_align=ra_next)
-            if has_next else None,
+            a=a_op, p=p_op, r=r_op,
             inv_diag=jnp.asarray(_pad1(inv_diag, n_pad), dtype=dtype),
             inv_l1=jnp.asarray(_pad1(inv_l1, n_pad), dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
@@ -284,7 +315,9 @@ def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
         coarse_inv = np.linalg.pinv(coarse)
     if bucketed:
         nc = coarse_inv.shape[0]
-        ncp = levels[-1].a.data.shape[0]
+        la = levels[-1].a
+        ncp = la.m.shape[0] if isinstance(la, ell_mod.DenseOp) \
+            else la.data.shape[0]
         padded = np.zeros((ncp, ncp))
         padded[:nc, :nc] = coarse_inv
         coarse_inv = padded

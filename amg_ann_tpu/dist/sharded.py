@@ -66,8 +66,38 @@ def shard_hierarchy(h: DeviceHierarchy, mesh: Mesh,
                     axis: str = "rows") -> DeviceHierarchy:
     """Shard every level's operators row-wise; smoother diagonals ride the
     same row partition; the (tiny) coarsest dense inverse is replicated."""
+    from ..sparse.ell import DenseOp
+
     levels = []
     for lev in h.levels:
+        if isinstance(lev.a, DenseOp):
+            # dense coarse levels are tiny — replicate them, padded to the
+            # mesh-divisible vector lengths the sharded chain produces
+            nd = mesh.shape[axis]
+            lp = lambda n: n + (-n) % nd
+            s0 = lev.a.m.shape[0]
+
+            def pad2(m, rp, cp):
+                return jnp.pad(m, ((0, rp - m.shape[0]),
+                                   (0, cp - m.shape[1])))
+
+            p_op = r_op = None
+            if lev.p is not None:
+                s1 = lev.p.m.shape[1]
+                p_op = DenseOp(m=pad2(lev.p.m, lp(s0), lp(s1)),
+                               nrows=lev.p.nrows, ncols=lev.p.ncols)
+                r_op = DenseOp(m=pad2(lev.r.m, lp(s1), lp(s0)),
+                               nrows=lev.r.nrows, ncols=lev.r.ncols)
+            padded = DeviceLevel(
+                a=DenseOp(m=pad2(lev.a.m, lp(s0), lp(s0)),
+                          nrows=lev.a.nrows, ncols=lev.a.ncols),
+                p=p_op, r=r_op,
+                inv_diag=jnp.pad(lev.inv_diag, (0, lp(s0) - s0)),
+                inv_l1=jnp.pad(lev.inv_l1, (0, lp(s0) - s0)),
+                lam_max=lev.lam_max,
+            )
+            levels.append(jax.device_put(padded, NamedSharding(mesh, P())))
+            continue
         levels.append(DeviceLevel(
             a=sharded_ell(lev.a, mesh, axis),
             p=sharded_ell(lev.p, mesh, axis) if lev.p is not None else None,

@@ -52,7 +52,8 @@ class SolveResult:
 _SETUP_FIELDS = ("strong_threshold", "max_row_sum",
                  "aggressive_coarsening_num_levels", "max_levels",
                  "max_coarse_size", "trunc_factor", "p_max_elements",
-                 "symmetric_operator", "seed", "structured_interp")
+                 "symmetric_operator", "seed", "structured_interp",
+                 "dense_coarse_threshold")
 
 
 def _apply_solve_params(hierarchy, params: AMGParams):

@@ -54,7 +54,7 @@ def _cycle(h, l, b):
     elif structured:
         bc = restrict(r, lev.shape)
     else:
-        bc = spmv(lev.r, r)
+        bc = op_matvec(lev.r, r)
     # γ-cycle: approximately solve A_c e = bc with γ recursive cycles
     # (γ=1 → V-cycle, γ=2 → W-cycle)
     gamma = 1 if params.cycle_type == "V" else 2
@@ -67,7 +67,7 @@ def _cycle(h, l, b):
     elif structured:
         x = x + prolongate(xc, lev.shape)
     else:
-        x = x + spmv(lev.p, xc)
+        x = x + op_matvec(lev.p, xc)
 
     for _ in range(params.n_post_smooth):
         x, _ = smooth_rx(lev, x, b, params)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse.dia import DIA, dia_spmv, dia_spmv_fast
-from ..sparse.ell import ELL, spmv as ell_spmv
+from ..sparse.ell import DenseOp, ELL, dense_matvec, spmv as ell_spmv
 
 
 def _on_tpu() -> bool:
@@ -43,6 +43,8 @@ def op_matvec(op, x):
         return dia_spmv(op, x)
     if isinstance(op, ELL):
         return ell_spmv(op, x)
+    if isinstance(op, DenseOp):
+        return dense_matvec(op, x)
     from ..dist.halo import HaloDIA
 
     if isinstance(op, HaloDIA):

@@ -119,3 +119,27 @@ def diag(a: ELL) -> jax.Array:
 def l1_row_norm(a: ELL) -> jax.Array:
     """Σ_j |a_ij| per row (the ℓ1-Jacobi smoother diagonal)."""
     return jnp.sum(jnp.abs(a.data), axis=1)
+
+
+@struct.dataclass
+class DenseOp:
+    """Small dense operator (device pytree) — the TPU-fast storage for
+    classical-hierarchy COARSE levels.
+
+    XLA's TPU gather executes the ELL SpMV ~600× below HBM speed of light;
+    below a few thousand rows a dense matmul on the MXU beats it outright
+    (one fused (n, n)×(n,) product), so classical coarse levels store
+    their operators and transfer matrices densely (amg/hierarchy.py).
+    """
+
+    m: jax.Array                 # (nrows_padded, ncols_padded)
+    nrows: int = struct.field(pytree_node=False)   # true row count
+    ncols: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+
+def dense_matvec(op: DenseOp, x):
+    return op.m @ x

@@ -1,0 +1,107 @@
+"""Preprocess → train → evaluate the reference-scale tc2 dataset.
+
+Consumes the output of examples/generate_tc2_reference_scale.py and runs
+the SHIPPED configuration (data/metadata/testcase2-…, view 75 sum+max+c,
+pure_log, tnl) end to end, producing:
+
+  * data/processed/tc2-ref/{train,test}/…
+  * data/models/tc2-ref/model…/ checkpoint + history + perf_df + summary
+  * data/models/tc2-ref/pretrain-model/  (the trained model doubles as
+    the shipped pretrain checkpoint the metadata CSVs reference)
+  * data/models/tc2-ref/card.json — the headline P/P_MAX figures
+
+Training runs on CPU by default (the tunnel round trip per step would
+dominate on the remote TPU; the CNN is small).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--raw", default="data/raw/tc2-ref")
+    ap.add_argument("--processed", default="data/processed/tc2-ref")
+    ap.add_argument("--models", default="data/models/tc2-ref")
+    ap.add_argument("--view-size", type=int, default=75)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--test", type=float, default=0.15)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from amg_ann_tpu.ann.driver import run_hyperparameter_csv
+    from amg_ann_tpu.pipeline.analysis import eval_model, sigma_bar_study
+    from amg_ann_tpu.pipeline.preprocess import (preprocess_data,
+                                                 split_train_validation_test)
+
+    app = "testcase2-diffusion-structured"
+    # -- preprocess ---------------------------------------------------------
+    stats_csv = os.path.join(args.raw, "times", "stats.csv")
+    view_csv = os.path.join(args.raw, f"pooling{args.view_size}",
+                            "stats.csv")
+    df = preprocess_data(stats_csv, app)
+    split_train_validation_test(df, app, view_csv, args.processed,
+                                test=args.test)
+    print(f"processed: {len(df)} rows -> {args.processed}")
+
+    # -- train (shipped metadata row) --------------------------------------
+    meta = os.path.join("data", "metadata", app,
+                        "train_hyperparameters.csv")
+    os.makedirs(args.models, exist_ok=True)
+    hyper = run_hyperparameter_csv(
+        args.models, os.path.join(args.processed, "train"), meta,
+        epochs_override=args.epochs, verbose=True)
+    model_id = hyper.iloc[0]["name"]
+    print("trained:", model_id, "mse:", hyper.iloc[0]["mse"])
+
+    # ship the trained weights as the pretrain checkpoint the metadata
+    # CSVs point at (reference: pretrain column → /pretrain-model.h5)
+    src = os.path.join(args.models, model_id)
+    dst = os.path.join(args.models, "pretrain-model")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst,
+                    ignore=shutil.ignore_patterns("history.csv"))
+
+    # -- evaluate on the held-out problems ---------------------------------
+    summary = eval_model(args.models, model_id,
+                         os.path.join(args.processed, "test"))
+    print("held-out summary:", summary)
+    import pandas as pd
+
+    perf_df = pd.read_csv(os.path.join(args.models, model_id,
+                                       "perf_df.csv"))
+    err_cols = [c for c in perf_df.columns if c.endswith("nn_err")]
+    card = {
+        "app": app,
+        "model": model_id,
+        "view_size": args.view_size,
+        "view_type": "sum+max+c",
+        "norm_mode": "pure_log",
+        "n_train_rows": int(len(df) * (1 - args.test)),
+        "n_test_problems": int(len(perf_df)),
+        "ndof_max": int(df["ndof"].max()),
+        "summary": {k: float(v) for k, v in summary.items()},
+    }
+    if err_cols:
+        study = sigma_bar_study(perf_df, err_col=err_cols[0])
+        card["sigma_bar_elbow"] = float(study["sigma_bar"])
+    with open(os.path.join(args.models, "card.json"), "w") as f:
+        json.dump(card, f, indent=1)
+    print("card ->", os.path.join(args.models, "card.json"))
+
+
+if __name__ == "__main__":
+    main()

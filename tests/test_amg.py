@@ -271,3 +271,27 @@ class TestShapeBuckets:
         assert padded(82061) == padded(83500)  # ~2% apart
         # far-apart sizes do not
         assert padded(9000) != padded(14000)
+
+
+class TestDenseCoarseLevels:
+    """Classical coarse levels below dense_coarse_threshold store dense
+    operators (MXU matmul instead of the gather-bound ELL SpMV)."""
+
+    def test_dense_levels_present_and_solve_matches(self):
+        from amg_ann_tpu.sparse.ell import DenseOp
+
+        a = poisson_7pt(12)
+        b = a.matvec(np.random.default_rng(0).random(a.nrows))
+        h_dense = setup(a, AMGParams(dense_coarse_threshold=2048))
+        h_ell = setup(a, AMGParams(dense_coarse_threshold=0))
+        kinds_d = [type(l.a).__name__ for l in h_dense.device.levels]
+        kinds_e = [type(l.a).__name__ for l in h_ell.device.levels]
+        assert "DenseOp" in kinds_d and "DenseOp" not in kinds_e
+        rd = amg_solve(a, b, hierarchy=h_dense,
+                       params=AMGParams(dense_coarse_threshold=2048),
+                       rtol=1e-8, tol=0.0)
+        re_ = amg_solve(a, b, hierarchy=h_ell,
+                        params=AMGParams(dense_coarse_threshold=0),
+                        rtol=1e-8, tol=0.0)
+        assert rd.converged and rd.niters == re_.niters
+        np.testing.assert_allclose(rd.x, re_.x, rtol=1e-9, atol=1e-12)
