@@ -1,0 +1,155 @@
+"""BASELINE.json configs 2–4 measurements (config 1 is bench.py).
+
+  2. 128³ jumping-coefficient diffusion, ANN-PREDICTED θ (needs a trained
+     model, e.g. data/models/tc2-ref) vs default θ=0.5 — the deployment
+     loop of SURVEY §7.6 on the structured TPU fast path.
+  3. unstructured P1 tet elliptic matrix, distributed rows (classical
+     GSPMD path over the available mesh).
+  4. anisotropic diffusion, Chebyshev vs ℓ1-Jacobi smoothing through the
+     banded structured path (θ-driven semicoarsening active).
+
+Each run prints one JSON line; pass --out to append them to a file.
+Config 5 (256³ multi-host) needs a pod slice; dist/structured.py +
+dist/multihost.scaling_report are the entry points there.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _emit(out, rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if out:
+        with open(out, "a") as f:
+            f.write(line + "\n")
+
+
+def config2_ann_theta(out, models_path, n=128, pattern=8):
+    import jax
+
+    from amg_ann_tpu.amg import AMGParams
+    from amg_ann_tpu.ann.checkpoint import load_model
+    from amg_ann_tpu.fem.structured import StructuredDiffusion
+    from amg_ann_tpu.solvers.ann_solver import predict_theta_for_matrix
+    from amg_ann_tpu.solvers import ir_solve
+
+    # newest model dir with a checkpoint
+    cands = [d for d in os.listdir(models_path)
+             if os.path.isdir(os.path.join(models_path, d))
+             and d.startswith("model")]
+    assert cands, f"no trained model under {models_path}"
+    model_id = sorted(cands)[-1]
+    model, params_nn, spec = load_model(os.path.join(models_path, model_id))
+
+    rng = np.random.default_rng(7)
+    refinements = int(np.log2((n + 1) // pattern))
+    p = StructuredDiffusion(pattern_size=pattern, refinements=refinements,
+                            degree=1, mode=3,
+                            epsv=rng.uniform(0, 6.0, pattern ** 3))
+    a, b, x0 = p.build()
+    gs = (p.n_nodes_1d,) * 3
+
+    theta_star, _, sigma = predict_theta_for_matrix(
+        a, model, params_nn, view_size=spec["view_size"],
+        scalar_inputs={"log2ndof": float(np.log2(a.nrows)),
+                       "theta": 0.5, "degree": 1.0})
+    theta_star = float(np.clip(theta_star, 0.05, 0.95))
+
+    res = {}
+    for name, th in (("default", 0.5), ("ann", theta_star)):
+        params = AMGParams(strong_threshold=th, smoother="chebyshev",
+                           dtype=np.float32, max_coarse_size=2048)
+        r = ir_solve(a, b, params, grid_shape=gs, rtol=1e-8)  # warm+compile
+        t0 = time.perf_counter()
+        r = ir_solve(a, b, params, grid_shape=gs, rtol=1e-8)
+        t = time.perf_counter() - t0
+        res[name] = dict(theta=th, t_s=t, inner_iters=r.inner_iters,
+                         converged=bool(r.converged))
+    gain = 1.0 - res["ann"]["t_s"] / res["default"]["t_s"]
+    _emit(out, {"config": "128cube_ann_theta", "ndof": a.nrows,
+                "theta_star": theta_star, "sigma_hat": float(sigma),
+                "default": res["default"], "ann": res["ann"],
+                "gain_vs_default": round(gain, 4), "model": model_id})
+
+
+def config3_unstructured_dist(out):
+    import jax
+
+    from amg_ann_tpu.amg import AMGParams, setup
+    from amg_ann_tpu.dist import make_mesh, shard_solve
+    from amg_ann_tpu.fem.unstructured import UnstructuredDiffusion
+
+    p = UnstructuredDiffusion(mesh="Cube", refinements=2, seed=0,
+                              max_diffusion=2.0)
+    a, b, x0 = p.build()
+    h = setup(a, AMGParams(dtype=np.float32, smoother="chebyshev"))
+    mesh = make_mesh()
+    r = shard_solve(h, b, mesh=mesh, rtol=1e-6, tol=0.0, maxiter=200)
+    jax.block_until_ready(r.x)
+    t0 = time.perf_counter()
+    r = shard_solve(h, b, mesh=mesh, rtol=1e-6, tol=0.0, maxiter=200)
+    jax.block_until_ready(r.x)
+    t = time.perf_counter() - t0
+    nnz_work = int(r.niters) * sum(h.stats.nnz)
+    _emit(out, {"config": "unstructured_p1_distributed_rows",
+                "ndof": a.nrows, "devices": len(mesh.devices.ravel()),
+                "niters": int(r.niters), "t_solve_s": t,
+                "nnz_per_s": nnz_work / t, "converged": bool(r.converged)})
+
+
+def config4_smoother_battle(out, n=64):
+    from amg_ann_tpu.amg import AMGParams
+    from amg_ann_tpu.fem import anisotropic_27pt
+    from amg_ann_tpu.solvers import ir_solve
+
+    a = anisotropic_27pt(n)
+    b = a.matvec(np.random.default_rng(0).random(n ** 3))
+    rec = {"config": "anisotropic_cheb_vs_l1", "ndof": a.nrows}
+    for sm in ("chebyshev", "l1jacobi"):
+        params = AMGParams(strong_threshold=0.9, smoother=sm,
+                           dtype=np.float32, max_coarse_size=2048)
+        r = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8)
+        t0 = time.perf_counter()
+        r = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8)
+        rec[sm] = dict(t_s=time.perf_counter() - t0,
+                       inner_iters=r.inner_iters,
+                       converged=bool(r.converged))
+    _emit(out, rec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--models", default="data/models/tc2-ref")
+    ap.add_argument("--configs", nargs="+", default=["2", "3", "4"])
+    ap.add_argument("--n2", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    if "2" in args.configs:
+        config2_ann_theta(args.out, args.models, n=args.n2)
+    if "3" in args.configs:
+        config3_unstructured_dist(args.out)
+    if "4" in args.configs:
+        config4_smoother_battle(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""tc1 (unstructured P1/P2 tets) dataset at view_size 75.
+
+Classical-path sweeps (unstructured matrices have no banded structure);
+sizes to ~10⁵ DoFs — the classical CPU path at reference-maximal 2M DoFs
+would take days per the reference's own warning (README.md:11); the
+2M-DoF scale is demonstrated by the tc2 structured dataset instead.
+
+    python examples/generate_tc1_dataset.py [--out data/raw/tc1-ref]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_configs():
+    from amg_ann_tpu.pipeline.datagen import APP_TC1, SweepConfig
+
+    cfgs = []
+    for mesh, refs in (("Cube", (1, 2)), ("HyperBall", (1, 2)),
+                       ("Cylinder", (1, 2)), ("Cheese", (1,)),
+                       ("ReplicateHoles", (1,))):
+        for ref in refs:
+            for deg in (1, 2) if ref == 1 else (1,):
+                for seed in range(3):
+                    cfgs.append(SweepConfig(
+                        app=APP_TC1,
+                        problem=dict(mesh=mesh, refinements=ref,
+                                     degree=deg, seed=seed,
+                                     max_diffusion=6.0,
+                                     renumbering="cuthill_mckee"),
+                        tol=1e-6, rtol_mode=True, smoother="chebyshev",
+                        strong_threshold=(0.05, 0.96, 0.05),
+                        cycles=1,
+                        setting_name=f"tc1ref-{mesh}-r{ref}-d{deg}-s{seed}",
+                    ))
+    return cfgs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="data/raw/tc1-ref")
+    ap.add_argument("--view-size", type=int, default=75)
+    ap.add_argument("--pooling-only", action="store_true")
+    ap.add_argument("--times-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from amg_ann_tpu.pipeline.datagen import run_config
+
+    cfgs = make_configs()
+    print(f"{len(cfgs)} configurations (cpu classical path)")
+    jobs = []
+    if not args.pooling_only:
+        jobs.append(("times", cfgs))
+    if not args.times_only:
+        pool = [dataclasses.replace(c, make_view=True,
+                                    view_size=args.view_size,
+                                    strong_threshold=(0.0, 0.0, 0.0))
+                for c in cfgs]
+        jobs.append((f"pooling{args.view_size}", pool))
+    for sub, job_cfgs in jobs:
+        outdir = os.path.join(args.out, sub)
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(outdir, "stats.csv")
+        if os.path.exists(path):
+            os.remove(path)
+        t00 = time.time()
+        for i, cfg in enumerate(job_cfgs):
+            t0 = time.time()
+            run_config(cfg, path)
+            print(f"[{sub} {i + 1}/{len(job_cfgs)}] {cfg.setting_name} "
+                  f"{time.time() - t0:.1f}s (total {time.time() - t00:.0f}s)",
+                  flush=True)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
