@@ -339,10 +339,24 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
                     max_row_sum=mrs,
                     aggressive_coarsening_num_levels=naggr,
                     smoother=cfg.smoother, dtype=np.float32)
+                # warm-up once (absorbs one-off executable compiles, which
+                # production never pays per θ), then time the WARM calls;
+                # min-of-N suppresses tunnel round-trip jitter
+                setup_structured(a, grid_shape, params,
+                                 stencil=stencil, a_slots=a_slots)
                 h = setup_structured(a, grid_shape, params,
                                      stencil=stencil, a_slots=a_slots)
+                h2 = setup_structured(a, grid_shape, params,
+                                      stencil=stencil, a_slots=a_slots)
+                if h2.stats.t_setup < h.stats.t_setup:
+                    h = h2
                 res = amg_solve(a, b, params, x0=x0, hierarchy=h,
                                 rtol=cfg.tol, tol=0.0)
+                for _ in range(2):
+                    r2 = amg_solve(a, b, params, x0=x0, hierarchy=h,
+                                   rtol=cfg.tol, tol=0.0)
+                    if r2.t_solve < res.t_solve:
+                        res = r2
                 fields = [prefix, _f(theta), _f(mrs), str(sym)]
                 if _NAGGR_COLUMN[cfg.app]:
                     fields.append(str(naggr))

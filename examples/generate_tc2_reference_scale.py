@@ -58,10 +58,15 @@ def main():
     ap.add_argument("--view-size", type=int, default=75)
     ap.add_argument("--pooling-only", action="store_true")
     ap.add_argument("--times-only", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend (the pooling pass is pure "
+                         "host work: use cpu to run alongside a TPU sweep)")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     try:
