@@ -312,3 +312,31 @@ def test_cli_generate_and_preprocess(tmp_path):
               "--order", "2", "--test", "0.5"])
     assert (out / "train" / "stats.csv.gz").exists()
     assert (out / "test" / "view.csv.gz").exists()
+
+
+def test_structured_sweep_rows(tmp_path):
+    """SweepConfig.structured: tc2 degree-1 sweeps run the θ-sensitive
+    structured fast path and keep the exact tc2 CSV schema."""
+    import pandas as pd
+
+    from amg_ann_tpu.pipeline.datagen import APP_TC2, SweepConfig, run_config
+
+    rng = np.random.default_rng(3)
+    cfg = SweepConfig(
+        app=APP_TC2,
+        problem=dict(pattern_size=4, refinements=2, degree=1, mode=3,
+                     epsv=rng.uniform(0, 4.0, 64)),
+        tol=1e-6, structured=True, smoother="chebyshev",
+        strong_threshold=(0.1, 0.91, 0.4), cycles=1)
+    out = str(tmp_path / "stats.csv")
+    run_config(cfg, out)
+    df = pd.read_csv(out)
+    assert len(df) == 3
+    assert list(df.columns[:10]) == [
+        "setting", "dim", "ndof", "mesh_ref", "degree", "sol_id",
+        "sol_pattern_size", "epsv", "mode", "timestamp"]
+    assert (df["niters"] > 0).all()
+    assert (df["t_amg_setup"] > 0).all() and (df["t_solve"] > 0).all()
+    res0 = [float(x) for x in df.iloc[0]["p_res"].strip('"').split(",")]
+    assert len(res0) == df.iloc[0]["niters"] + 1
+    assert res0[-1] / res0[0] <= 1e-6
