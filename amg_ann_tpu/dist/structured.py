@@ -74,13 +74,12 @@ class DistStructuredHierarchy:
 
 
 def _flat_dia(level: StructuredLevel):
-    """(K, n) flat coefficient array + offsets from the level's DIA."""
+    """(K, n) flat coefficient array + offsets from the level's DIA
+    (alignment tail rows sliced off — they are all-zero)."""
     a = level.a
     data = a.data.reshape(a.data.shape[0], -1)
-    assert data.shape[1] == a.n, (
-        f"distributed structured path needs the flat DIA layout exactly "
-        f"(n = {a.n} not a multiple of 128)")
-    return data, a.offsets
+    assert data.shape[1] >= a.n
+    return data[:, :a.n], a.offsets
 
 
 def shardable_levels(h: StructuredSetupResult, ndev: int) -> int:

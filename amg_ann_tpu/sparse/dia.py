@@ -71,7 +71,7 @@ def from_csr_dia(a: CSR, dtype=None, cols: int = 128,
     if max_offsets is not None and offs.size > max_offsets:
         return None
     n = a.nrows
-    npad = -n % cols
+    npad = -n % (cols * 8)   # R multiple of 8 (Pallas TPU tiling)
     r = (n + npad) // cols
     data = np.zeros((max(offs.size, 1), r * cols), dtype=dtype)
     k_of = {int(o): k for k, o in enumerate(offs)}
