@@ -144,12 +144,14 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     return y.reshape(-1)[: a.n] if a.n != rc else y.reshape(-1)
 
 
-def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b):
+def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b,
+                         interpret: bool = False):
     """Fused smoother step (solvers/ops.op_smooth_step contract) via the
     Pallas kernel: t = A d; x' = x+d; r' = r−t; d' = c_a d + c_b (s⊙r').
 
     Falls back to matvec + elementwise when the matrix is too small for
-    the kernel's clamped window (3·halo > R)."""
+    the kernel's clamped window (3·halo > R) or off-TPU (pass
+    interpret=True to exercise the kernel logic on CPU)."""
     from .pallas_spmv import (
         LANES, dia_smooth_step_pallas, halo_rows,
     )
@@ -157,7 +159,8 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b):
     rr = a.data.shape[1]
     rc = rr * LANES
     h = halo_rows(a.offsets)
-    if a.cols != LANES or 3 * h > rr:
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if a.cols != LANES or 3 * h > rr or not (on_tpu or interpret):
         t = dia_spmv(a, d)
         x2 = x + d
         r2 = r - t
@@ -171,7 +174,7 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b):
     xo, ro, do = dia_smooth_step_pallas(
         a.data, pad(x).reshape(rr, LANES), pad(r).reshape(rr, LANES),
         pad(d).reshape(rr, LANES), pad(s).reshape(rr, LANES), coef,
-        a.offsets)
+        a.offsets, interpret=interpret)
     n = a.n
     unpad = (lambda v: v.reshape(-1)[:n]) if n != rc else (
         lambda v: v.reshape(-1))

@@ -160,9 +160,11 @@ def _dia_smooth_kernel(offsets, block_rows, halo, nrows, d_hbm, a_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "block_rows", "interpret"))
 def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
-                           block_rows: int | None = None):
+                           block_rows: int | None = None,
+                           interpret: bool = False):
     """Fused (x', r', d') smoother step on (R, 128) operands.
 
     coef: shape-(2,) f32 array (c_a, c_b). Requires the nopad-kernel
@@ -206,6 +208,7 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
             bytes_accessed=(k + 7) * r * LANES * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(d2d, data, x2d, r2d, s2d, coef)
     return out
 

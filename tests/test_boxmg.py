@@ -268,7 +268,8 @@ class TestFusedSmoother:
         n = a.nrows
         x, r, d, s = (rng.random(n).astype(np.float32) for _ in range(4))
         c_a, c_b = 0.3, 0.7
-        xo, ro, do = dia_smooth_step_fast(dm, x, r, d, s, c_a, c_b)
+        xo, ro, do = dia_smooth_step_fast(dm, x, r, d, s, c_a, c_b,
+                                          interpret=True)
         t = np.asarray(dia_spmv(dm, d))
         np.testing.assert_allclose(np.asarray(xo), x + d, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(ro), r - t, rtol=1e-5,

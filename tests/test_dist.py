@@ -124,7 +124,7 @@ class TestHaloExchange:
         # halo = 64 == block 64 -> allowed; shrink by faking offsets
         import dataclasses
 
-        big = d.replace(offsets=(-100, 0, 100))
+        big = d.replace(offsets=(-200, 0, 200))
         with pytest.raises(AssertionError):
             halo_spmv_shardmap(big, mesh)
 
