@@ -87,7 +87,7 @@ def config3_unstructured_dist(out):
     from amg_ann_tpu.dist import make_mesh, shard_solve
     from amg_ann_tpu.fem.unstructured import UnstructuredDiffusion
 
-    p = UnstructuredDiffusion(mesh="Cube", refinements=2, seed=0,
+    p = UnstructuredDiffusion(mesh="Cube", refinements=3, seed=0,
                               max_diffusion=2.0)
     a, b, x0 = p.build()
     h = setup(a, AMGParams(dtype=np.float32, smoother="chebyshev"))
@@ -131,9 +131,13 @@ def main():
     ap.add_argument("--models", default="data/models/tc2-ref")
     ap.add_argument("--configs", nargs="+", default=["2", "3", "4"])
     ap.add_argument("--n2", type=int, default=128)
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
