@@ -52,6 +52,20 @@ def op_matvec(op, x):
     raise TypeError(f"unknown operator type {type(op)!r}")
 
 
+def op_cheb_sweep(op, x, r, d, s, coefs):
+    """coefs.shape[0] residual-carrying smoother steps (see
+    op_smooth_step) applied back-to-back. On TPU DIA operands the WHOLE
+    sweep is one Pallas launch (A bands / r / s stream from HBM once);
+    elsewhere it's the per-step loop."""
+    if _use_pallas(op):
+        from ..sparse.dia import dia_cheb_sweep_fast
+
+        return dia_cheb_sweep_fast(op, x, r, d, s, coefs)
+    for j in range(int(coefs.shape[0])):
+        x, r, d = op_smooth_step(op, x, r, d, s, coefs[j, 0], coefs[j, 1])
+    return x, r, d
+
+
 def op_smooth_step(op, x, r, d, s, c_a, c_b):
     """One residual-carrying smoother step (solvers/smoothers.py):
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .ops import op_matvec, op_smooth_step
+from .ops import op_cheb_sweep, op_matvec, op_smooth_step
 
 
 def _coeffs(lev, params):
@@ -73,13 +73,25 @@ def _chebyshev_rx(lev, x, b, params, r, want_residual):
         r = b - op_matvec(lev.a, x)
     d = (lev.inv_diag * r) / theta
     rho = 1.0 / sigma1
+    # (c_a, c_b) per recurrence step, built from traced scalars (λ_max
+    # lives on device); a trailing (0, 0) row realizes the final
+    # residual-producing x/r update. One op_cheb_sweep call = ONE fused
+    # Pallas launch for the whole polynomial on TPU DIA levels.
+    cdt = lev.inv_diag.dtype
+    coef_rows = []
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma1 - rho)
-        x, r, d = op_smooth_step(lev.a, x, r, d, lev.inv_diag,
-                                 rho_new * rho, 2.0 * rho_new / delta)
+        coef_rows.append(jnp.stack([
+            jnp.asarray(rho_new * rho, dtype=cdt),
+            jnp.asarray(2.0 * rho_new / delta, dtype=cdt)]))
         rho = rho_new
     if want_residual:
-        x, r, _ = op_smooth_step(lev.a, x, r, d, lev.inv_diag, 0.0, 0.0)
+        coef_rows.append(jnp.zeros((2,), dtype=cdt))
+    if not coef_rows:
+        return x + d, None
+    coefs = jnp.stack(coef_rows)
+    x, r, d = op_cheb_sweep(lev.a, x, r, d, lev.inv_diag, coefs)
+    if want_residual:
         return x, r
     return x + d, None
 

@@ -181,6 +181,47 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b,
     return unpad(xo), unpad(ro), unpad(do)
 
 
+def dia_cheb_sweep_fast(a: DIA, x, r, d, s, coefs, interpret: bool = False):
+    """`coefs.shape[0]` fused residual-carrying smoother steps in ONE
+    Pallas launch (sparse/pallas_spmv.dia_cheb_sweep_pallas): the A bands,
+    r and s stream from HBM once for the whole Chebyshev sweep instead of
+    once per step (temporal tiling with overlapping halo windows).
+
+    Falls back to the per-step loop when the matrix is too small for the
+    sweep window or off-TPU (interpret=True exercises the kernel on CPU).
+    """
+    from .pallas_spmv import (
+        LANES, dia_cheb_sweep_pallas, halo_rows,
+    )
+
+    steps = int(coefs.shape[0])
+    rr = a.data.shape[1]
+    rc = rr * LANES
+    h = halo_rows(a.offsets)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # need at least one valid block: B + 2·steps·h ≤ R with B ≥ 8
+    if (a.cols != LANES or 8 + 2 * steps * h > rr
+            or not (on_tpu or interpret)):
+        for j in range(steps):
+            t = dia_spmv(a, d)
+            x = x + d
+            r = r - t
+            d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+        return x, r, d
+
+    def pad(v):
+        return jnp.pad(v, (0, rc - v.shape[0])) if v.shape[0] != rc else v
+
+    xo, ro, do = dia_cheb_sweep_pallas(
+        a.data, pad(x).reshape(rr, LANES), pad(r).reshape(rr, LANES),
+        pad(d).reshape(rr, LANES), pad(s).reshape(rr, LANES),
+        coefs.astype(a.data.dtype), a.offsets, steps, interpret=interpret)
+    n = a.n
+    unpad = (lambda v: v.reshape(-1)[:n]) if n != rc else (
+        lambda v: v.reshape(-1))
+    return unpad(xo), unpad(ro), unpad(do)
+
+
 def _interp_call(ps, data, xp, offsets):
     # interpret-mode twin of dia_spmv_pallas for CPU testing
     import functools

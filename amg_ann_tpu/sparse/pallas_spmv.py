@@ -213,6 +213,159 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
     return out
 
 
+def _dia_cheb_kernel(offsets, block_rows, halo, steps, nrows, d_hbm, r_hbm,
+                     s_hbm, a_hbm, x_ref, coef_ref, xo_ref, ro_ref, do_ref,
+                     sems):
+    """Fused MULTI-step smoother sweep (temporal tiling): `steps`
+    residual-carrying recurrence steps
+
+        t = A d;  x += d;  r -= t;  d = c_a[j]·d + c_b[j]·(s ⊙ r)
+
+    in ONE kernel launch. Each program loads an overlapping window wide
+    enough to compute step j on a region shrinking by `halo` rows per
+    side per step (redundant edge compute instead of inter-step kernel
+    relaunches), so the A bands / r / s stream from HBM ONCE for the
+    whole sweep instead of once per step.
+
+    Window geometry (H = steps·halo): the program's B output rows need
+    step-j values on G_j = [iB − (S−1−j)h, iB+B + (S−1−j)h) and d taps
+    one halo beyond G_0, so d/r/s/A are DMA'd on copy = B + 2H rows,
+    clamped into [0, R] with the same mid-window `delta` slot arithmetic
+    as _dia_kernel_nopad; flanks of H rows are zeroed (outside-matrix
+    reads see 0; outside-matrix writes land on s=r=0 rows and stay 0).
+    x only accumulates on the output rows, so it rides a BlockSpec."""
+    i = pl.program_id(0)
+    big_h = steps * halo
+    copy = block_rows + 2 * big_h
+    win = block_rows + 4 * big_h
+    start = i * jnp.int32(block_rows) - jnp.int32(big_h)
+    clamped = jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                          jnp.int32(nrows - copy))
+    delta = start - clamped
+
+    def body(dv, rv, sv, av):
+        for v in (dv, rv, sv):
+            v[pl.ds(0, big_h), :] = jnp.zeros((big_h, LANES),
+                                              dtype=d_hbm.dtype)
+            v[pl.ds(copy + big_h, big_h), :] = jnp.zeros(
+                (big_h, LANES), dtype=d_hbm.dtype)
+        av[:, pl.ds(0, big_h), :] = jnp.zeros(
+            (av.shape[0], big_h, LANES), dtype=a_hbm.dtype)
+        av[:, pl.ds(copy + big_h, big_h), :] = jnp.zeros(
+            (av.shape[0], big_h, LANES), dtype=a_hbm.dtype)
+        copies = [
+            pltpu.make_async_copy(h.at[pl.ds(clamped, copy)],
+                                  v.at[pl.ds(big_h, copy)], sems.at[n])
+            for n, (h, v) in enumerate([(d_hbm, dv), (r_hbm, rv),
+                                        (s_hbm, sv)])
+        ] + [pltpu.make_async_copy(a_hbm.at[:, pl.ds(clamped, copy)],
+                                   av.at[:, pl.ds(big_h, copy)],
+                                   sems.at[3])]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        # window slot of the program's first output row (global iB):
+        # slot(g) = big_h + (g − clamped) ⇒ mid = 2·big_h + delta
+        mid = 2 * big_h + delta
+        x_acc = x_ref[:, :]
+        for j in range(steps):
+            ext = (steps - 1 - j) * halo          # step-j extra extent
+            width = block_rows + 2 * ext
+            lo = mid - ext                        # first slot computed
+            acc = jnp.zeros((width, LANES), dtype=do_ref.dtype)
+            for k, (rr, ss) in enumerate(_decompose(offsets)):
+                base = lo + rr
+                if ss == 0:
+                    shifted = dv[pl.ds(base, width), :]
+                else:
+                    hi = dv[pl.ds(base, width), pl.ds(ss, LANES - ss)]
+                    lo2 = dv[pl.ds(base + 1, width), pl.ds(0, ss)]
+                    shifted = jnp.concatenate([hi, lo2], axis=1)
+                acc = acc + av[k, pl.ds(lo, width), :] * shifted
+            d_blk = dv[pl.ds(lo, width), :]
+            r_new = rv[pl.ds(lo, width), :] - acc
+            x_acc = x_acc + dv[pl.ds(mid, block_rows), :]
+            rv[pl.ds(lo, width), :] = r_new
+            dv[pl.ds(lo, width), :] = coef_ref[j, 0] * d_blk + (
+                coef_ref[j, 1] * (sv[pl.ds(lo, width), :] * r_new))
+        xo_ref[:, :] = x_acc
+        ro_ref[:, :] = rv[pl.ds(mid, block_rows), :]
+        do_ref[:, :] = dv[pl.ds(mid, block_rows), :]
+
+    k = a_hbm.shape[0]
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((win, LANES), d_hbm.dtype),
+        pltpu.VMEM((win, LANES), r_hbm.dtype),
+        pltpu.VMEM((win, LANES), s_hbm.dtype),
+        pltpu.VMEM((k, win, LANES), a_hbm.dtype),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "steps", "block_rows",
+                                    "interpret"))
+def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
+                          steps: int, block_rows: int | None = None,
+                          interpret: bool = False):
+    """`steps` fused smoother steps in one launch (see _dia_cheb_kernel).
+
+    coefs: (steps, 2) array of (c_a, c_b) per step. Requires the window
+    contract B + 2·steps·halo ≤ R; callers fall back otherwise."""
+    k, r, lanes = data.shape
+    assert lanes == LANES
+    h = halo_rows(offsets)
+    big_h = steps * h
+    if block_rows is None:
+        vmem_budget = 6 * 1024 * 1024
+        target = max(8, min(r, vmem_budget // (max(k, 3) * LANES * 4)))
+        block_rows = 1
+        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
+            block_rows *= 2
+        while block_rows > 1 and block_rows + 2 * big_h > r:
+            block_rows //= 2
+    assert r % block_rows == 0, (r, block_rows)
+    assert block_rows + 2 * big_h <= r, (
+        "matrix too small for the fused sweep window")
+    grid = r // block_rows
+
+    kernel = functools.partial(_dia_cheb_kernel, offsets, block_rows, h,
+                               steps, r)
+    blk = lambda: pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM)
+    win = block_rows + 4 * big_h
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # d
+            pl.BlockSpec(memory_space=pl.ANY),   # r
+            pl.BlockSpec(memory_space=pl.ANY),   # s
+            pl.BlockSpec(memory_space=pl.ANY),   # A bands
+            blk(),                               # x
+            pl.BlockSpec((coefs.shape[0], 2),
+                         lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(blk(), blk(), blk()),
+        out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(k + 3) * win * LANES * 4
+            + 8 * block_rows * LANES * 4 + 2 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * (2 * k + 5) * r * LANES,
+            bytes_accessed=(k + 7) * r * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d2d, r2d, s2d, data, x2d, coefs)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
 def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
     """Unpadded-x variant: data (K, R, 128), x2d (R, 128) → y (R, 128)."""
