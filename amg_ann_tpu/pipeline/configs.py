@@ -73,9 +73,13 @@ def tc1_configs(meshes=("Cube", "HyperBall", "Cylinder"), degrees=(1,),
 
 def tc21_configs(refinements=(2, 3, 4), diffusion_exps=(0, 1, 2, 4, 8),
                  n_points_per_diagonal=3, solver_mode=1, tol=1e-8,
-                 rtol_mode=False):
+                 rtol_mode=False, structured=False, smoother="l1jacobi"):
     """testcase2.1 grid (datagen.py:20-44): marked points along the main
-    diagonal; θ grid hardcoded by the app (main.cpp:334)."""
+    diagonal; θ grid hardcoded by the app (main.cpp:334).
+
+    structured=True routes the degree-1 θ-sweeps (solver_mode 1) through
+    the all-DIA TPU fast path — same rows, device-time sweeps (pass
+    rtol-style tol 1e-6 and smoother='chebyshev' for TPU datasets)."""
     pts = [(t, t, t) for t in np.linspace(0.0, 0.9, n_points_per_diagonal)]
     out = []
     for ref in refinements:
@@ -87,6 +91,7 @@ def tc21_configs(refinements=(2, 3, 4), diffusion_exps=(0, 1, 2, 4, 8),
                                  marked_point=tuple(mp)),
                     strong_threshold=(0.05, 0.95, 0.0125),
                     solver_mode=solver_mode, tol=tol, rtol_mode=rtol_mode,
+                    structured=structured, smoother=smoother,
                     setting_name=f"tc21_r{ref}_d{d}"))
     return out
 

@@ -159,6 +159,12 @@ def _build_tc21(cfg, cycle):
         _f(float(p.diffusion_exp)),
         _qjoin(list(map(float, p.marked_point))),
     ])
+    if p.degree == 1:
+        # degree-1 Q1 on the uniform cube: the operator is a 27-point
+        # lattice stencil, so θ-sweeps (solver_mode 1) can ride the
+        # structured fast path exactly like tc2 (main.cpp:334-338 rows)
+        n = p.n_nodes_1d
+        return a, b, x0, prefix, (n, n, n)
     return a, b, x0, prefix, None
 
 

@@ -340,3 +340,32 @@ def test_structured_sweep_rows(tmp_path):
     res0 = [float(x) for x in df.iloc[0]["p_res"].strip('"').split(",")]
     assert len(res0) == df.iloc[0]["niters"] + 1
     assert res0[-1] / res0[0] <= 1e-6
+
+
+def test_structured_sweep_rows_tc21(tmp_path):
+    """tc2.1 degree-1 θ-sweeps (solver_mode 1) ride the structured fast
+    path too, keeping the abbreviated tc2.1 schema (main.cpp:334-338)."""
+    import pandas as pd
+
+    from amg_ann_tpu.pipeline.datagen import (APP_TC21, SweepConfig,
+                                              run_config)
+
+    cfg = SweepConfig(
+        app=APP_TC21,
+        problem=dict(num_ref=3, diffusion_exp=4.0,
+                     marked_point=(0.25, 0.25, 0.25)),
+        tol=1e-6, structured=True, smoother="chebyshev",
+        strong_threshold=(0.1, 0.91, 0.4), cycles=1)
+    out = str(tmp_path / "stats.csv")
+    run_config(cfg, out)
+    df = pd.read_csv(out)
+    assert len(df) == 3
+    assert list(df.columns[:9]) == [
+        "timestamp", "setting", "dim", "ndof", "mesh_ref", "degree",
+        "renumbering", "diff", "mpt"]
+    assert list(df.columns[9:]) == [
+        "theta", "mrs", "sym", "agg_lvls", "tol", "t_setup", "t_solve",
+        "it", "res"]
+    assert (df["it"] > 0).all()
+    res0 = [float(x) for x in df.iloc[0]["res"].strip('"').split(",")]
+    assert res0[-1] / res0[0] <= 1e-6
