@@ -285,7 +285,8 @@ _DJ_TABLE1 = {-2: [], -1: [(-1, 0)], 0: [(0, 0)], 1: [(1, 0)], 2: []}
 
 
 def rap_stencil(s: np.ndarray, w: np.ndarray,
-                strides=(2, 2, 2)) -> np.ndarray:
+                strides=(2, 2, 2), w_left: np.ndarray | None = None
+                ) -> np.ndarray:
     """Galerkin coarse stencil A_c = Pᵀ A P on the (per-axis) coarse lattice.
 
     A term-by-term contraction over offset combinations: for coarse point
@@ -300,6 +301,11 @@ def rap_stencil(s: np.ndarray, w: np.ndarray,
     O(#terms · Π m) with no sparse machinery. 27-point closure holds for
     any stride pattern (on stride-1 axes W is axis-diagonal, forcing
     d1 = dJ = 0 there).
+
+    w_left: weight stencil of the LEFT factor (restriction = w_leftᵀ)
+    when it differs from the right one — the unknown-based block path
+    computes (A_c)_{ci,cj} = P_ciᵀ A_{ci,cj} P_cj with per-component P
+    (amg/boxmg_block.py). Default: symmetric, w_left = w.
     """
     shape = s.shape[1:]
     m = tuple(n // st for n, st in zip(shape, strides))
@@ -308,6 +314,9 @@ def rap_stencil(s: np.ndarray, w: np.ndarray,
     pad = ((0, 0), (2, 2), (2, 2), (2, 2))
     sp = np.pad(s, pad)
     wp = np.pad(w, pad)
+    wlp = wp if w_left is None else np.pad(w_left, pad)
+    wl_nonzero = ({k: bool(np.any(w_left[k])) for k in range(27)}
+                  if w_left is not None else None)
 
     def sub(arr_k, t):
         # values at fine points x_I + t over the coarse lattice
@@ -321,9 +330,9 @@ def rap_stencil(s: np.ndarray, w: np.ndarray,
     w_nonzero = {k: bool(np.any(w[k])) for k in range(27)}
     for d1 in DIRS:
         k1 = dir_index((-d1[0], -d1[1], -d1[2]))
-        if not w_nonzero[k1]:
+        if not (wl_nonzero or w_nonzero)[k1]:
             continue
-        w1 = sub(wp[k1], d1)
+        w1 = sub(wlp[k1], d1)
         for ka in a_nonzero:
             da = DIRS[ka]
             wa = w1 * sub(sp[ka], d1)

@@ -66,6 +66,23 @@ class StructuredLevel:
 
 
 @struct.dataclass
+class BlockStructuredLevel:
+    """Vector (nb-component) level — unknown-based block path
+    (amg/boxmg_block.py). The operator is a scalar interleaved DIA
+    (node·nb + component ordering), so smoothers and PCG ride the
+    existing DIA/Pallas kernels; only the transfers are block-aware."""
+    a: DIA
+    inv_diag: jax.Array
+    inv_l1: jax.Array
+    lam_max: jax.Array
+    shape: tuple = struct.field(pytree_node=False)  # NODE grid (nx, ny, nz)
+    nb: int = struct.field(pytree_node=False, default=3)
+    # per-component prolongation weights (nb, 27, nx, ny, nz)
+    p_w: Optional[jax.Array] = None
+    strides: tuple = struct.field(pytree_node=False, default=(2, 2, 2))
+
+
+@struct.dataclass
 class StructuredHierarchy:
     levels: tuple
     coarse_inv: jax.Array
@@ -84,12 +101,20 @@ class StructuredSetupResult:
     # equivalent CSR matrices lazily (tests / parity artifacts only)
     a_mats_eager: Optional[list] = None
     p_mats_eager: Optional[list] = None
+    # block (vector) path: per-level (27, nb, nb, …) stencils
+    block_stencils: Optional[list] = None
 
     @property
     def a_mats(self) -> list:
         if self.a_mats_eager is None:
-            self.a_mats_eager = [stencil_to_csr(np.asarray(s))
-                                 for s in self.stencils]
+            if self.block_stencils is not None:
+                from .boxmg_block import block_stencil_to_csr
+
+                self.a_mats_eager = [block_stencil_to_csr(np.asarray(s))
+                                     for s in self.block_stencils]
+            else:
+                self.a_mats_eager = [stencil_to_csr(np.asarray(s))
+                                     for s in self.stencils]
         return self.a_mats_eager
 
     strides: Optional[list] = None  # per-level coarsening patterns
@@ -348,7 +373,15 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
     if params is None:
         params = AMGParams(**kw)
     dtype = params.dtype or a.data.dtype
-    assert int(np.prod(grid_shape)) == a.nrows, (grid_shape, a.nrows)
+    n_nodes = int(np.prod(grid_shape))
+    if a.nrows != n_nodes:
+        # vector operator (tc3 elasticity): nb interleaved components per
+        # node — unknown-based block path (amg/boxmg_block.py)
+        assert a.nrows % n_nodes == 0, (grid_shape, a.nrows)
+        from .boxmg_block import setup_structured_block
+
+        return setup_structured_block(a, grid_shape, params, dtype,
+                                      nb=a.nrows // n_nodes)
 
     if params.structured_interp == "operator":
         if stencil is not None:

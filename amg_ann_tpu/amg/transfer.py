@@ -154,6 +154,26 @@ def prolongate_w(c, w, fine_shape, strides=(2, 2, 2)):
     return out.reshape(-1)
 
 
+def prolongate_bw(c, w_stack, fine_shape, strides=(2, 2, 2)):
+    """Block (vector) prolongation: c flat coarse INTERLEAVED (m·nb), one
+    weight stencil per component (w_stack: (nb, 27, nx, ny, nz)) — the
+    unknown-based P = blockdiag(P_0…P_{nb-1}) of amg/boxmg_block.py."""
+    nb = w_stack.shape[0]
+    c2 = c.reshape(-1, nb)
+    outs = [prolongate_w(c2[:, b], w_stack[b], fine_shape, strides)
+            for b in range(nb)]
+    return jnp.stack(outs, axis=-1).reshape(-1)
+
+
+def restrict_bw(fv, w_stack, fine_shape, strides=(2, 2, 2)):
+    """Adjoint of prolongate_bw (per-component weighted restriction)."""
+    nb = w_stack.shape[0]
+    f2 = fv.reshape(-1, nb)
+    outs = [restrict_w(f2[:, b], w_stack[b], fine_shape, strides)
+            for b in range(nb)]
+    return jnp.stack(outs, axis=-1).reshape(-1)
+
+
 def restrict_w(fv, w, fine_shape, strides=(2, 2, 2)):
     """xc = Pᵀ xf with weight stencil w (exact adjoint of prolongate_w).
 

@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..amg.structured_mg import StructuredLevel
-from ..amg.transfer import prolongate, prolongate_w, restrict, restrict_w
+from ..amg.structured_mg import BlockStructuredLevel, StructuredLevel
+from ..amg.transfer import (prolongate, prolongate_bw, prolongate_w,
+                            restrict, restrict_bw, restrict_w)
 from ..sparse.ell import spmv
 from .ops import op_matvec
 from .smoothers import smooth_rx
@@ -48,8 +49,12 @@ def _cycle(h, l, b):
         x, r = smooth_rx(lev, x, b, params, r=r, want_residual=True)
 
     structured = isinstance(lev, StructuredLevel)
-    weighted = structured and lev.p_w is not None
-    if weighted:
+    block = isinstance(lev, BlockStructuredLevel)
+    weighted = (structured or block) and lev.p_w is not None
+    if block:
+        assert weighted, "block levels always carry per-component weights"
+        bc = restrict_bw(r, lev.p_w, lev.shape, lev.strides)
+    elif weighted:
         bc = restrict_w(r, lev.p_w, lev.shape, lev.strides)
     elif structured:
         bc = restrict(r, lev.shape)
@@ -62,7 +67,9 @@ def _cycle(h, l, b):
     for _ in range(gamma - 1):
         rc = bc - op_matvec(h.levels[l + 1].a, xc)
         xc = xc + _cycle(h, l + 1, rc)
-    if weighted:
+    if block:
+        x = x + prolongate_bw(xc, lev.p_w, lev.shape, lev.strides)
+    elif weighted:
         x = x + prolongate_w(xc, lev.p_w, lev.shape, lev.strides)
     elif structured:
         x = x + prolongate(xc, lev.shape)

@@ -1,0 +1,207 @@
+"""Unknown-based block structured AMG (amg/boxmg_block.py) — the tc3
+vector-elasticity TPU fast path.
+
+Oracles: explicit CSR algebra (spgemm Galerkin product with the
+interleaved block-diagonal P), host block-stencil matvec, and the
+portable DIA path vs the Pallas kernel in interpret mode."""
+
+import numpy as np
+import pytest
+
+from amg_ann_tpu.amg.boxmg import interp_csr, interp_weights
+from amg_ann_tpu.amg.boxmg_block import (
+    block_stencil_matvec, block_stencil_to_csr, block_stencil_to_dia,
+    choose_strides_block, csr_to_block_stencil, setup_structured_block,
+)
+from amg_ann_tpu.amg.hierarchy import AMGParams
+from amg_ann_tpu.fem.elasticity import LinearElasticity
+from amg_ann_tpu.sparse.csr import CSR
+from amg_ann_tpu.sparse.dia import dia_spmv
+from amg_ann_tpu.sparse.spgemm import spgemm
+
+
+@pytest.fixture(scope="module")
+def elas():
+    p = LinearElasticity(pattern_size=2, refinements=2, degree=1, mode=3,
+                         seed=1, max_young=2.0)
+    a, b, x0 = p.build()
+    return p, a, b, x0
+
+
+def _interleave_p(p_scalar_list) -> CSR:
+    """Explicit block-diagonal P on interleaved dofs:
+    P[(i, c), (j, c)] = P_c[i, j]."""
+    nb = len(p_scalar_list)
+    rows_l, cols_l, vals_l = [], [], []
+    for c, pc in enumerate(p_scalar_list):
+        r, cc, v = pc.row_expand()
+        rows_l.append(r * nb + c)
+        cols_l.append(cc * nb + c)
+        vals_l.append(v)
+    nr = p_scalar_list[0].nrows * nb
+    ncol = p_scalar_list[0].ncols * nb
+    return CSR.from_coo(np.concatenate(rows_l), np.concatenate(cols_l),
+                        np.concatenate(vals_l), (nr, ncol))
+
+
+class TestBlockStencil:
+    def test_roundtrip_and_matvec_parity(self, elas):
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        s = csr_to_block_stencil(a, (n1, n1, n1))
+        assert s is not None and s.shape == (27, 3, 3, n1, n1, n1)
+        rng = np.random.default_rng(0)
+        x = rng.random(a.nrows)
+        y_ref = a.matvec(x)
+        np.testing.assert_allclose(block_stencil_to_csr(s).matvec(x), y_ref,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(block_stencil_matvec(s, x), y_ref,
+                                   rtol=1e-12)
+        dm = block_stencil_to_dia(s)
+        np.testing.assert_allclose(np.asarray(dia_spmv(dm, x)), y_ref,
+                                   rtol=1e-10)
+        # nnz bookkeeping: structural count is an upper bound on stored
+        assert dm.nnz >= a.data.size - np.count_nonzero(a.data == 0)
+
+    def test_degree2_rejected(self):
+        p = LinearElasticity(pattern_size=2, refinements=1, degree=2,
+                             mode=3, seed=0)
+        a, _, _ = p.build()
+        n1 = p.n_nodes_1d
+        assert csr_to_block_stencil(a, (n1, n1, n1)) is None
+
+    def test_offset_collision_rows_disjoint(self, elas):
+        """3·o + 2 and 3·(o+1) − 1 share a DIA diagonal; the entries land
+        on disjoint component strides (ci=0 vs ci∈{1,2}) — checked
+        implicitly by matvec parity, explicitly here via offset counts."""
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        s = csr_to_block_stencil(a, (n1, n1, n1))
+        dm = block_stencil_to_dia(s)
+        # 27 node offsets × 5 component shifts = 135 raw; collisions merge
+        # some, boundary-truncated directions drop none here
+        assert len(dm.offsets) <= 135
+        assert len(set(dm.offsets)) == len(dm.offsets)
+
+
+class TestBlockGalerkin:
+    def test_rap_matches_spgemm(self, elas):
+        """(A_c)_{ci,cj} = P_ciᵀ A_{ci,cj} P_cj == explicit
+        blockdiag(P)ᵀ · A · blockdiag(P) on interleaved dofs."""
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        params = AMGParams(strong_threshold=0.3, max_coarse_size=200)
+        res = setup_structured_block(a, (n1, n1, n1), params, np.float64)
+        assert len(res.block_stencils) >= 2
+        s0 = res.block_stencils[0]
+        ws = res.weights[0]
+        strides = res.strides[0]
+        p_cs = [interp_csr(np.asarray(ws[c]), strides) for c in range(3)]
+        p_blk = _interleave_p(p_cs)
+        oracle = spgemm(p_blk.transpose(),
+                        spgemm(block_stencil_to_csr(s0), p_blk))
+        got = block_stencil_to_csr(res.block_stencils[1])
+        d = (got.to_dense() - oracle.to_dense())
+        assert np.abs(d).max() < 1e-8 * max(1.0, np.abs(oracle.data).max())
+
+    def test_weights_come_from_diagonal_blocks(self, elas):
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        s = csr_to_block_stencil(a, (n1, n1, n1))
+        strides = choose_strides_block(s, 0.3)
+        params = AMGParams(strong_threshold=0.3, max_coarse_size=200)
+        res = setup_structured_block(a, (n1, n1, n1), params, np.float64)
+        for c in range(3):
+            w_ref = interp_weights(np.ascontiguousarray(s[:, c, c]), 0.3,
+                                   params.max_row_sum, strides)
+            np.testing.assert_allclose(np.asarray(res.weights[0][c]), w_ref,
+                                       rtol=1e-12)
+
+
+class TestBlockTransfers:
+    def test_adjoint(self, elas):
+        import jax.numpy as jnp
+
+        from amg_ann_tpu.amg.transfer import (coarse_size, prolongate_bw,
+                                              restrict_bw)
+
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        params = AMGParams(strong_threshold=0.3, max_coarse_size=200)
+        res = setup_structured_block(a, (n1, n1, n1), params, np.float64)
+        ws = jnp.asarray(res.weights[0])
+        strides = res.strides[0]
+        fine = (n1, n1, n1)
+        m = tuple(coarse_size(s) if st == 2 else s
+                  for s, st in zip(fine, strides))
+        rng = np.random.default_rng(3)
+        u = rng.random(3 * int(np.prod(m)))
+        v = rng.random(3 * n1 ** 3)
+        lhs = float(np.dot(np.asarray(prolongate_bw(jnp.asarray(u), ws,
+                                                    fine, strides)), v))
+        rhs = float(np.dot(u, np.asarray(restrict_bw(jnp.asarray(v), ws,
+                                                     fine, strides))))
+        assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)
+
+
+class TestBlockSolve:
+    def test_converges_and_theta_steers(self, elas):
+        from amg_ann_tpu.solvers.amg_solver import amg_solve
+
+        p, a, b, x0 = elas
+        n1 = p.n_nodes_1d
+        opcs, iters = [], []
+        for theta in (0.1, 0.5, 0.8):
+            res = amg_solve(a, b, params=AMGParams(
+                strong_threshold=theta, smoother="chebyshev",
+                max_coarse_size=200), rtol=1e-8,
+                grid_shape=(n1, n1, n1))
+            assert res.converged
+            assert res.niters < 40
+            opcs.append(res.hierarchy.stats.operator_complexity)
+            iters.append(res.niters)
+        # θ genuinely steers the hierarchy: operator complexity shrinks
+        # as the strength filter tightens
+        assert opcs[0] > opcs[-1]
+
+    def test_discretization_error_reached(self, elas):
+        from amg_ann_tpu.solvers.amg_solver import amg_solve
+
+        p, a, b, x0 = elas
+        n1 = p.n_nodes_1d
+        res = amg_solve(a, b, params=AMGParams(
+            strong_threshold=0.25, smoother="l1jacobi",
+            max_coarse_size=200), rtol=1e-10, grid_shape=(n1, n1, n1))
+        err = p.compute_l2_error(res.x + np.asarray(x0))
+        # same discretization-error level the classical-path test reaches
+        assert err < 0.5
+
+    def test_matches_classical_path_solution(self, elas):
+        from amg_ann_tpu.solvers.amg_solver import amg_solve
+
+        p, a, b, x0 = elas
+        n1 = p.n_nodes_1d
+        r_blk = amg_solve(a, b, params=AMGParams(
+            strong_threshold=0.25, max_coarse_size=200), rtol=1e-10,
+            grid_shape=(n1, n1, n1))
+        r_cls = amg_solve(a, b, params=AMGParams(
+            strong_threshold=0.25), rtol=1e-10)
+        np.testing.assert_allclose(r_blk.x, r_cls.x, rtol=1e-6, atol=1e-8)
+
+
+class TestBlockPallas:
+    def test_interpret_kernel_parity(self, elas):
+        import jax
+        import jax.numpy as jnp
+
+        from amg_ann_tpu.sparse.dia import dia_spmv_fast
+
+        p, a, _, _ = elas
+        n1 = p.n_nodes_1d
+        s = csr_to_block_stencil(a, (n1, n1, n1))
+        dm = block_stencil_to_dia(s, dtype=np.float32)
+        x = np.random.default_rng(0).random(a.nrows).astype(np.float32)
+        y0 = np.asarray(dia_spmv(dm, jnp.asarray(x)))
+        y1 = np.asarray(dia_spmv_fast(dm, jnp.asarray(x), interpret=True))
+        # f32 with O(10³) Lamé entries: accumulation-order noise only
+        np.testing.assert_allclose(y0, y1, rtol=2e-3, atol=1e-2)
