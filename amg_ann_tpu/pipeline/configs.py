@@ -99,9 +99,13 @@ def tc21_configs(refinements=(2, 3, 4), diffusion_exps=(0, 1, 2, 4, 8),
 def tc3_configs(degrees=(1,), modes=(1, 3), pattern_sizes=(2,),
                 sharps=(False, True), max_youngs=(1.0, 2.0), n_seeds=2,
                 base_ref=1, theta=(0.15, 0.91, 0.025), tol=1e-8,
-                rtol_mode=False):
+                rtol_mode=False, structured=False, smoother="l1jacobi"):
     """testcase3 grid (datagen.py:16-37; aggressive coarsening 2 as the
-    app hardcodes, main.cpp:454-464)."""
+    app hardcodes, main.cpp:454-464).
+
+    structured=True routes degree-1 θ-sweeps through the unknown-based
+    block structured path (amg/boxmg_block.py) — all-banded vector
+    V-cycles (pass tol 1e-6 and smoother='chebyshev' for TPU datasets)."""
     out = []
     for deg in degrees:
         for mode in modes:
@@ -117,7 +121,8 @@ def tc3_configs(degrees=(1,), modes=(1, 3), pattern_sizes=(2,),
                                              refinements=base_ref),
                                 strong_threshold=theta,
                                 aggressive_levels=2, tol=tol,
-                                rtol_mode=rtol_mode,
+                                rtol_mode=rtol_mode, structured=structured,
+                                smoother=smoother,
                                 setting_name=(f"tc3_m{mode}_ps{ps}"
                                               f"_sh{int(sharp)}_y{my}_s{s}")))
     return out

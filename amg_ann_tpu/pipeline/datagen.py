@@ -142,6 +142,12 @@ def _build_tc3(cfg, cycle):
         _f(float(p.max_young)), str(int(p.sharp)), "0",
         str(int(time.time())),
     ])
+    if p.degree == 1:
+        # vector Q1: a 27-point stencil of 3×3 blocks — θ-sweeps ride the
+        # unknown-based block structured path (amg/boxmg_block.py); the
+        # grid shape is the NODE grid (amg_solve infers nb from nrows)
+        n = p.n_nodes_1d
+        return a, b, x0, prefix, (n, n, n)
     return a, b, x0, prefix, None
 
 
@@ -327,14 +333,21 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
     from ..amg.boxmg import csr_to_stencil
     from ..amg.structured_mg import setup_structured
 
-    s0 = csr_to_stencil(a, grid_shape)
-    assert s0 is not None, "structured sweep needs a ≤27-point operator"
-    s0 = s0.astype(np.float32)
-    a_slots = tuple(k for k in range(27) if np.any(s0[k]))
-    import jax as _jax
+    is_block = a.nrows != int(np.prod(grid_shape))
+    if is_block:
+        # vector operator (tc3): unknown-based block path — host setup
+        # per θ (no device-side block setup yet); solve rides the same
+        # compiled interleaved-DIA executables across the sweep
+        stencil = a_slots = None
+    else:
+        s0 = csr_to_stencil(a, grid_shape)
+        assert s0 is not None, "structured sweep needs a ≤27-point operator"
+        s0 = s0.astype(np.float32)
+        a_slots = tuple(k for k in range(27) if np.any(s0[k]))
+        import jax as _jax
 
-    on_dev = _jax.default_backend() in ("tpu", "axon")
-    stencil = jnp.asarray(s0) if on_dev else s0
+        on_dev = _jax.default_backend() in ("tpu", "axon")
+        stencil = jnp.asarray(s0) if on_dev else s0
     naggr = cfg.aggressive_levels
     for theta in _sweep_values(cfg.strong_threshold):
         for mrs in _sweep_values(cfg.max_row_sum):
@@ -345,17 +358,20 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
                     max_row_sum=mrs,
                     aggressive_coarsening_num_levels=naggr,
                     smoother=cfg.smoother, dtype=np.float32)
-                # warm-up once (absorbs one-off executable compiles, which
-                # production never pays per θ), then time the WARM calls;
-                # min-of-N suppresses tunnel round-trip jitter
-                setup_structured(a, grid_shape, params,
-                                 stencil=stencil, a_slots=a_slots)
-                h = setup_structured(a, grid_shape, params,
+                if is_block:
+                    h = setup_structured(a, grid_shape, params)
+                else:
+                    # warm-up once (absorbs one-off executable compiles,
+                    # which production never pays per θ), then time the
+                    # WARM calls; min-of-N suppresses tunnel jitter
+                    setup_structured(a, grid_shape, params,
                                      stencil=stencil, a_slots=a_slots)
-                h2 = setup_structured(a, grid_shape, params,
-                                      stencil=stencil, a_slots=a_slots)
-                if h2.stats.t_setup < h.stats.t_setup:
-                    h = h2
+                    h = setup_structured(a, grid_shape, params,
+                                         stencil=stencil, a_slots=a_slots)
+                    h2 = setup_structured(a, grid_shape, params,
+                                          stencil=stencil, a_slots=a_slots)
+                    if h2.stats.t_setup < h.stats.t_setup:
+                        h = h2
                 res = amg_solve(a, b, params, x0=x0, hierarchy=h,
                                 rtol=cfg.tol, tol=0.0)
                 for _ in range(2):

@@ -369,3 +369,29 @@ def test_structured_sweep_rows_tc21(tmp_path):
     assert (df["it"] > 0).all()
     res0 = [float(x) for x in df.iloc[0]["res"].strip('"').split(",")]
     assert res0[-1] / res0[0] <= 1e-6
+
+
+def test_structured_sweep_rows_tc3(tmp_path):
+    """tc3 degree-1 θ-sweeps ride the unknown-based BLOCK structured path
+    (amg/boxmg_block.py) with the tc3 schema (aggressive_lvls column)."""
+    import pandas as pd
+
+    from amg_ann_tpu.pipeline.datagen import (APP_TC3, SweepConfig,
+                                              run_config)
+
+    cfg = SweepConfig(
+        app=APP_TC3,
+        problem=dict(pattern_size=2, refinements=1, degree=1, mode=3,
+                     seed=0, max_young=2.0, sharp=False),
+        tol=1e-6, structured=True, smoother="chebyshev",
+        aggressive_levels=2,
+        strong_threshold=(0.15, 0.76, 0.3), cycles=1)
+    out = str(tmp_path / "stats.csv")
+    run_config(cfg, out)
+    df = pd.read_csv(out)
+    assert len(df) == 3
+    assert "aggressive_lvls" in df.columns
+    assert (df["ndof"] == 3 * 5 ** 3).all()
+    assert (df["niters"] > 0).all()
+    res0 = [float(x) for x in df.iloc[0]["p_res"].strip('"').split(",")]
+    assert res0[-1] / res0[0] <= 1e-6
