@@ -215,7 +215,7 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
 
 def _dia_cheb_kernel(offsets, block_rows, halo, steps, nrows, d_hbm, r_hbm,
                      s_hbm, a_hbm, x_ref, coef_ref, xo_ref, ro_ref, do_ref,
-                     sems):
+                     sem_d, sem_r, sem_s, sem_a):
     """Fused MULTI-step smoother sweep (temporal tiling): `steps`
     residual-carrying recurrence steps
 
@@ -255,12 +255,12 @@ def _dia_cheb_kernel(offsets, block_rows, halo, steps, nrows, d_hbm, r_hbm,
             (av.shape[0], big_h, LANES), dtype=a_hbm.dtype)
         copies = [
             pltpu.make_async_copy(h.at[pl.ds(clamped, copy)],
-                                  v.at[pl.ds(big_h, copy)], sems.at[n])
-            for n, (h, v) in enumerate([(d_hbm, dv), (r_hbm, rv),
-                                        (s_hbm, sv)])
+                                  v.at[pl.ds(big_h, copy)], sem)
+            for (h, v, sem) in [(d_hbm, dv, sem_d), (r_hbm, rv, sem_r),
+                                (s_hbm, sv, sem_s)]
         ] + [pltpu.make_async_copy(a_hbm.at[:, pl.ds(clamped, copy)],
                                    av.at[:, pl.ds(big_h, copy)],
-                                   sems.at[3])]
+                                   sem_a)]
         for c in copies:
             c.start()
         for c in copies:
@@ -319,7 +319,11 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
     h = halo_rows(offsets)
     big_h = steps * h
     if block_rows is None:
-        vmem_budget = 6 * 1024 * 1024
+        # window scratch is (k+3)·win copies + double-buffered in/out
+        # blocks; 3 MB of A-band window keeps the total comfortably under
+        # the ~36 MB scoped-vmem ceiling (measured: 1024-row blocks at
+        # k=7 overflow it)
+        vmem_budget = 3 * 1024 * 1024
         target = max(8, min(r, vmem_budget // (max(k, 3) * LANES * 4)))
         block_rows = 1
         while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
@@ -351,10 +355,11 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
         ],
         out_specs=(blk(), blk(), blk()),
         out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())] * 4,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(k + 3) * win * LANES * 4
-            + 8 * block_rows * LANES * 4 + 2 * 1024 * 1024,
+            # generous: scratch + Mosaic's double-buffered block operands
+            vmem_limit_bytes=2 * ((k + 3) * win + 10 * block_rows)
+            * LANES * 4 + 4 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=steps * (2 * k + 5) * r * LANES,
