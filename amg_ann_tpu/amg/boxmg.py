@@ -416,10 +416,9 @@ def stencil_to_dia(s: np.ndarray, dtype=None, cols: int = 128,
         acc = flat.setdefault(off, np.zeros(n, dtype=dtype))
         acc += sk.reshape(-1).astype(dtype)
     offs = sorted(flat)
-    # pad so R is a multiple of 8: Pallas TPU blocks need the second-minor
-    # dim divisible by 8, and R must admit a power-of-two block >= 8
-    npad = -n % (cols * 8)
-    r = (n + npad) // cols
+    from ..sparse.dia import padded_rows
+
+    r = padded_rows(n, cols)
     data = np.zeros((max(len(offs), 1), r * cols), dtype=dtype)
     for i, o in enumerate(offs):
         data[i, :n] = flat[o]

@@ -177,8 +177,9 @@ def block_stencil_to_dia(s: np.ndarray, dtype=None, cols: int = 128,
                 acc = flat.setdefault(off, np.zeros(nd, dtype=dtype))
                 acc[ci::nb] += sk.reshape(-1).astype(dtype)
     offs = sorted(flat)
-    npad = -nd % (cols * 8)
-    r = (nd + npad) // cols
+    from ..sparse.dia import padded_rows
+
+    r = padded_rows(nd, cols)
     data = np.zeros((max(len(offs), 1), r * cols), dtype=dtype)
     for i, o in enumerate(offs):
         data[i, :nd] = flat[o]

@@ -221,8 +221,10 @@ def stencil_to_dia_dev(s, shape, slots=None):
         off = (dx * ny + dy) * nz + dz
         flat_off.setdefault(off, []).append(k)
     offs = sorted(flat_off)
-    npad = -n % (128 * 8)    # R multiple of 8 (Pallas TPU tiling)
-    r = (n + npad) // 128
+    from ..sparse.dia import padded_rows
+
+    r = padded_rows(n, 128)
+    npad = r * 128 - n
     groups = tuple(tuple(flat_off[o]) for o in offs)
     return _pack_dia(s, groups, npad, r), tuple(offs)
 

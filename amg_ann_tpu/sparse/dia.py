@@ -49,6 +49,20 @@ class DIA:
         return dia_spmv(self, x)
 
 
+def padded_rows(n: int, cols: int = 128) -> int:
+    """Device row count R for an n-dof DIA operand: ceil(n/cols) rounded
+    up to a Pallas-friendly multiple. Kernel blocks must divide R, so R's
+    largest power-of-two divisor bounds the block size; awkward grids
+    (129³ → 16771 rows) would otherwise leave 8, degrading the kernels to
+    8-row blocks whose halo windows amplify DMA traffic ~35× (measured:
+    blows the axon RPC deadline at 129³). Padding rows carry zero
+    coefficients — the standard DIA wrap-annihilation contract."""
+    r = -(-n // cols)
+    m = 512 if r >= 8192 else (256 if r >= 2048 else
+                               (64 if r >= 512 else 8))
+    return -(-r // m) * m
+
+
 def num_offsets(a: CSR) -> int:
     rows, cols, _ = a.row_expand()
     return np.unique(cols - rows).size
@@ -71,8 +85,7 @@ def from_csr_dia(a: CSR, dtype=None, cols: int = 128,
     if max_offsets is not None and offs.size > max_offsets:
         return None
     n = a.nrows
-    npad = -n % (cols * 8)   # R multiple of 8 (Pallas TPU tiling)
-    r = (n + npad) // cols
+    r = padded_rows(n, cols)
     data = np.zeros((max(offs.size, 1), r * cols), dtype=dtype)
     k_of = {int(o): k for k, o in enumerate(offs)}
     ks = np.array([k_of[int(o)] for o in (cls - rows)], dtype=np.int64)
