@@ -47,18 +47,40 @@ class IRResult:
 
 def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
              inner_rtol=1e-4, inner_maxiter=60, max_outer=20,
-             hierarchy=None, grid_shape=None, **kw) -> IRResult:
+             hierarchy=None, grid_shape=None, equilibrate=None,
+             **kw) -> IRResult:
     """Solve A x = b to rtol (f64 true residual) with an f32 hierarchy.
 
     grid_shape: when given, build the structured (all-banded, gather-free)
     hierarchy instead of classical PMIS — the TPU fast path.
+
+    equilibrate: symmetric diagonal scaling S A S (S = diag(a_ii)^-1/2)
+    before the whole refinement. IR converges only while κ(A)·ε_f32 < 1;
+    jumping-coefficient operators (ε spans 6 decades in the tc2
+    reference sweeps) put κ ~ 1e10 past that wall, and equilibration
+    absorbs the coefficient jumps into the scaling. Defaults to on when
+    the hierarchy is built here (a prebuilt hierarchy matches the
+    UNSCALED operator). Reported true_res is for the ORIGINAL system.
     """
     if params is None:
         params = AMGParams(**kw)
     if params.dtype is None:
         params = dataclasses.replace(params, dtype=np.float32)
 
+    if equilibrate is None:
+        equilibrate = hierarchy is None
+    a_orig, b_orig = a, np.asarray(b)
+    scale = None
     t0 = time.perf_counter()
+    if equilibrate:
+        assert hierarchy is None, \
+            "equilibrate rescales A; prebuilt hierarchies don't match"
+        d = a.diagonal()
+        scale = np.where(
+            d != 0, 1.0 / np.sqrt(np.abs(np.where(d == 0, 1.0, d))), 1.0)
+        a = a.scale_sym(scale)
+        b = b_orig * scale
+
     if hierarchy is None:
         if grid_shape is not None:
             from ..amg.structured_mg import setup_structured
@@ -74,6 +96,14 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
 
     x64 = jax.config.read("jax_enable_x64")
     hi_dtype = jnp.float64 if x64 else jnp.float32
+    if not x64 and rtol < 1e-6:
+        import warnings
+
+        warnings.warn(
+            "ir_solve: jax_enable_x64 is off, so the 'f64' outer residual "
+            f"runs in f32 — rtol={rtol:g} is unreachable on ill-"
+            "conditioned systems. Enable x64 (bench.py does).",
+            stacklevel=2)
     # f64 outer residual: use the banded (gather-free) path when the matrix
     # has DIA structure — the emulated-f64 gather SpMV would otherwise
     # dominate the whole solve on TPU
@@ -101,10 +131,19 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
 
     outers = int(outers)
     hist = np.asarray(hist_dev)[: outers + 1] / norm_b
+    true_res = float(hist[-1])
+    if scale is not None:
+        # back to the original variables + honest UNSCALED true residual
+        # (host f64 — one CSR matvec)
+        x = x * scale
+        r = b_orig.astype(np.float64) - a_orig.astype(np.float64).matvec(
+            x.astype(np.float64))
+        nb0 = float(np.linalg.norm(b_orig))
+        true_res = float(np.linalg.norm(r)) / (nb0 if nb0 else 1.0)
     return IRResult(
         x=x, outer_iters=outers,
-        inner_iters=int(inners), true_res=float(hist[-1]),
-        res_history=hist, converged=bool(hist[-1] <= rtol),
+        inner_iters=int(inners), true_res=true_res,
+        res_history=hist, converged=bool(true_res <= rtol),
         t_setup=t_setup, t_solve=t_solve, hierarchy=hierarchy,
     )
 

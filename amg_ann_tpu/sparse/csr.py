@@ -160,6 +160,12 @@ class CSR:
         rows, _, _ = self.row_expand()
         return CSR(self.indptr, self.indices, self.data * s[rows], self.shape)
 
+    def scale_sym(self, s) -> "CSR":
+        """Symmetric diagonal scaling diag(s) · A · diag(s)."""
+        rows, _, _ = self.row_expand()
+        return CSR(self.indptr, self.indices,
+                   self.data * s[rows] * s[self.indices], self.shape)
+
     def drop_zeros(self, tol=0.0) -> "CSR":
         rows, cols, vals = self.row_expand()
         keep = np.abs(vals) > tol

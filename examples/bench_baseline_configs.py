@@ -138,6 +138,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # ir_solve's outer Richardson needs REAL f64 residuals (emulated on
+    # TPU); without x64 the 1e-8 targets are unreachable on ill-
+    # conditioned (jumping-coefficient) systems
+    jax.config.update("jax_enable_x64", True)
 
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")

@@ -95,6 +95,31 @@ class TestStructuredHierarchy:
                        grid_shape=(n, n, n), rtol=1e-8)
         assert res.converged and res.true_res <= 1e-8
 
+    def test_ir_solve_equilibrated_jumping_coefficients(self):
+        """6-decade coefficient jumps put κ(A)·ε_f32 > 1 at reference
+        scale — raw mixed-precision IR stalls (measured: the 129³ ANN-θ
+        bench hit the iteration cap), so ir_solve defaults to symmetric
+        diagonal equilibration. The scaled solve must return ORIGINAL-
+        system variables and an unscaled true residual; at this test's
+        (CPU-sized) grid both paths converge, so assert solution parity."""
+        from amg_ann_tpu.fem.structured import StructuredDiffusion
+
+        rng = np.random.default_rng(7)
+        p = StructuredDiffusion(pattern_size=4, refinements=2, degree=1,
+                                mode=3, epsv=rng.uniform(0, 6.0, 64))
+        a, b, x0 = p.build()
+        n = p.n_nodes_1d
+        params = AMGParams(smoother="chebyshev", dtype=np.float32)
+        good = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8)
+        assert good.converged and good.true_res <= 1e-8
+        raw = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8,
+                       equilibrate=False)
+        np.testing.assert_allclose(good.x, raw.x, rtol=1e-5,
+                                   atol=1e-7 * np.abs(raw.x).max())
+        # honest unscaled residual: recompute from the returned x
+        r = b - a.matvec(good.x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) <= 2 * good.true_res
+
 
 class TestHigherDegree:
     def test_degree2_fem_through_structured_path(self):
