@@ -32,14 +32,26 @@ def _emit(out, rec):
             f.write(line + "\n")
 
 
-def config2_ann_theta(out, models_path, n=128, pattern=8):
+def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
+                      seed=101):
+    """128³ jumping-coefficient diffusion, ANN-predicted θ vs θ=0.5.
+
+    Measured with the TRAINING contract (BASELINE.md methodology, the
+    reference's t = t_solve + t_amg_setup): the fine stencil is uploaded
+    once, every θ re-runs the same compiled device setup + solve
+    executables (the marginal cost a production sweep pays), warm-started
+    and min-of-N. The full θ grid is measured too, so P = 1 − t(θ*)/t(0.5)
+    is reported alongside P_MAX = 1 − t_min/t(0.5)."""
     import jax
+    import jax.numpy as jnp
 
     from amg_ann_tpu.amg import AMGParams
+    from amg_ann_tpu.amg.boxmg import csr_to_stencil
+    from amg_ann_tpu.amg.structured_mg import setup_structured
     from amg_ann_tpu.ann.checkpoint import load_model
     from amg_ann_tpu.fem.structured import StructuredDiffusion
+    from amg_ann_tpu.solvers.amg_solver import amg_solve
     from amg_ann_tpu.solvers.ann_solver import predict_theta_for_matrix
-    from amg_ann_tpu.solvers import ir_solve
 
     # newest model dir with a checkpoint
     cands = [d for d in os.listdir(models_path)
@@ -49,35 +61,65 @@ def config2_ann_theta(out, models_path, n=128, pattern=8):
     model_id = sorted(cands)[-1]
     model, params_nn, spec = load_model(os.path.join(models_path, model_id))
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)   # held out of the training seeds
     refinements = int(np.log2((n + 1) // pattern))
     p = StructuredDiffusion(pattern_size=pattern, refinements=refinements,
-                            degree=1, mode=3,
-                            epsv=rng.uniform(0, 6.0, pattern ** 3))
+                            degree=1, mode=mode,
+                            epsv=rng.uniform(0, 6.0, pattern ** mode))
     a, b, x0 = p.build()
     gs = (p.n_nodes_1d,) * 3
 
+    t0 = time.perf_counter()
     theta_star, _, sigma = predict_theta_for_matrix(
         a, model, params_nn, view_size=spec["view_size"],
         scalar_inputs={"log2ndof": float(np.log2(a.nrows)),
                        "theta": 0.5, "degree": 1.0})
     theta_star = float(np.clip(theta_star, 0.05, 0.95))
+    t_predict = time.perf_counter() - t0
 
-    res = {}
-    for name, th in (("default", 0.5), ("ann", theta_star)):
-        params = AMGParams(strong_threshold=th, smoother="chebyshev",
-                           dtype=np.float32, max_coarse_size=2048)
-        r = ir_solve(a, b, params, grid_shape=gs, rtol=1e-8)  # warm+compile
-        t0 = time.perf_counter()
-        r = ir_solve(a, b, params, grid_shape=gs, rtol=1e-8)
-        t = time.perf_counter() - t0
-        res[name] = dict(theta=th, t_s=t, inner_iters=r.inner_iters,
-                         converged=bool(r.converged))
-    gain = 1.0 - res["ann"]["t_s"] / res["default"]["t_s"]
+    s0 = csr_to_stencil(a, gs).astype(np.float32)
+    a_slots = tuple(k for k in range(27) if np.any(s0[k]))
+    stencil = jnp.asarray(s0)
+
+    def t_of(theta: float, reps: int = 3) -> tuple:
+        params = AMGParams(strong_threshold=float(theta),
+                           smoother="chebyshev", dtype=np.float32,
+                           max_coarse_size=2048)
+        setup_structured(a, gs, params, stencil=stencil,
+                         a_slots=a_slots)          # warm (compiles)
+        h = setup_structured(a, gs, params, stencil=stencil,
+                             a_slots=a_slots)
+        best = None
+        for _ in range(reps):
+            r = amg_solve(a, b, params, x0=x0, hierarchy=h, rtol=1e-6,
+                          tol=0.0)
+            t = h.stats.t_setup * 1e6 + r.t_solve   # µs, reference metric
+            if best is None or t < best[0]:
+                best = (t, r)
+        return best
+
+    grid = np.round(np.arange(0.05, 0.951, 0.05), 2)
+    curve = {}
+    for th in grid:
+        curve[float(th)] = t_of(th)
+    t_default = curve[0.5][0]
+    t_star, r_star = (curve[round(theta_star, 2)]
+                      if round(theta_star, 2) in curve else t_of(theta_star))
+    t_min = min(v[0] for v in curve.values())
+    th_min = min(curve, key=lambda k: curve[k][0])
+    perf = 1.0 - t_star / t_default
+    perf_max = 1.0 - t_min / t_default
     _emit(out, {"config": "128cube_ann_theta", "ndof": a.nrows,
-                "theta_star": theta_star, "sigma_hat": float(sigma),
-                "default": res["default"], "ann": res["ann"],
-                "gain_vs_default": round(gain, 4), "model": model_id})
+                "mode": mode, "theta_star": theta_star,
+                "sigma_hat": float(sigma), "t_predict_s": t_predict,
+                "t_default_s": t_default / 1e6, "t_ann_s": t_star / 1e6,
+                "t_min_s": t_min / 1e6, "theta_min": th_min,
+                "P": round(perf, 4), "P_MAX": round(perf_max, 4),
+                "niters_ann": r_star.niters,
+                "converged": bool(r_star.converged),
+                "t_curve_s": {f"{k:.2f}": round(v[0] / 1e6, 4)
+                              for k, v in curve.items()},
+                "model": model_id})
 
 
 def config3_unstructured_dist(out):
