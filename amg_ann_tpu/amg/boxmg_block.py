@@ -201,22 +201,298 @@ def choose_strides_block(s: np.ndarray, theta: float) -> tuple:
     return strides_from_couplings(coup, theta, shape)
 
 
+# -- device-side setup (jitted; tc3 θ-sweeps at device speed) ----------------
+
+def _bdia_groups(shape, nb, slots=None):
+    """Static (offset → ((k, ci, cj), …)) map for the interleaved DIA.
+    slots: optional restriction to (k, ci, cj) triples that can be
+    nonzero (level 0); None = all structurally-possible slots."""
+    nx, ny, nz = shape
+    flat_off = {}
+    it = (slots if slots is not None
+          else [(k, ci, cj) for k in range(27)
+                for ci in range(nb) for cj in range(nb)])
+    for (k, ci, cj) in it:
+        dx, dy, dz = DIRS[k]
+        off = nb * ((dx * ny + dy) * nz + dz) + (cj - ci)
+        flat_off.setdefault(off, []).append((k, ci, cj))
+    offs = sorted(flat_off)
+    return offs, tuple(tuple(flat_off[o]) for o in offs)
+
+
+def block_stencil_to_dia_dev(s, shape, nb: int = 3, slots=None):
+    """Device (K, R, 128) interleaved DIA data + offsets from a device
+    block stencil (jnp twin of block_stencil_to_dia)."""
+    import functools as _ft
+
+    import jax as _jax
+
+    from ..sparse.dia import padded_rows
+
+    offs, groups = _bdia_groups(shape, nb, slots)
+    n = int(np.prod(shape))
+    nd = nb * n
+    r = padded_rows(nd, 128)
+    npad = r * 128 - nd
+
+    @_ft.partial(_jax.jit, static_argnames=("groups", "npad", "r", "nb"))
+    def pack(s, groups, npad, r, nb):
+        rows = []
+        for g in groups:
+            comp = [None] * nb
+            for (k, ci, cj) in g:
+                v = s[k, ci, cj].reshape(-1)
+                comp[ci] = v if comp[ci] is None else comp[ci] + v
+            zero = jnp.zeros(s.shape[3:], dtype=s.dtype).reshape(-1)
+            cols = [c if c is not None else zero for c in comp]
+            v = jnp.stack(cols, axis=1).reshape(-1)   # interleave
+            rows.append(jnp.pad(v, (0, npad)) if npad else v)
+        return jnp.stack(rows).reshape(len(groups), r, 128)
+
+    return pack(s, groups, npad, r, nb), tuple(offs)
+
+
+def setup_structured_block_device(s0_dev, grid_shape, params: AMGParams,
+                                  dtype, nb: int = 3, slots=None):
+    """θ-sensitive block setup ON DEVICE: the only upload is the fine
+    block stencil (θ-independent); strength filtering, the nine per-pair
+    RAP contractions, stats, the DIA packing and the dense coarse inverse
+    all run jitted with θ traced — one compiled setup per (shape,
+    strides) serves a whole θ-sweep (the tc2 device-setup pattern,
+    boxmg_device.py, lifted to vector operators)."""
+    import time as _time
+
+    import jax as _jax
+
+    from .boxmg import strides_from_couplings
+    from .boxmg_device import (interp_weights_dev, lam_power_dev,
+                               nnz_count_dev, rap_stencil_dev)
+    from .structured_mg import (BlockStructuredLevel, StructuredHierarchy,
+                                StructuredSetupResult)
+    from .transfer import coarse_size
+
+    t0 = _time.perf_counter()
+    theta = params.strong_threshold
+
+    @_jax.jit
+    def axis_couplings_block(s):
+        out = []
+        for ax in range(3):
+            mask = np.array([d[ax] != 0 for d in DIRS])
+            out.append(jnp.abs(s[mask]).sum())
+        return jnp.stack(out)
+
+    @_jax.jit
+    def block_stats_dev(s):
+        nbl = s.shape[1]
+        diag = jnp.stack([s[K_CENTER, c, c] for c in range(nbl)],
+                         axis=-1).reshape(-1)
+        absum = jnp.moveaxis(jnp.abs(s).sum(axis=(0, 2)), 0, -1).reshape(-1)
+        inv_diag = jnp.where(diag != 0,
+                             1.0 / jnp.where(diag == 0, 1, diag), 0.0)
+        inv_l1 = jnp.where(absum != 0,
+                           1.0 / jnp.where(absum == 0, 1, absum), 0.0)
+        lam = jnp.max(absum * jnp.abs(inv_diag))
+        return inv_diag, inv_l1, jnp.where(lam > 0, lam, 1.0)
+
+    def build_chain(seed_stencils, seed_weights, seed_strides, seed_shapes,
+                    stride_fn):
+        stencils, weights = list(seed_stencils), list(seed_weights)
+        stride_list = list(seed_strides)
+        shapes = list(seed_shapes)
+        coup_devs = []
+        while (nb * int(np.prod(shapes[-1])) > params.max_coarse_size
+               and len(stencils) < params.max_levels
+               and max(shapes[-1]) >= 2):
+            coup_devs.append(axis_couplings_block(stencils[-1]))
+            strides = stride_fn(len(stencils) - 1, shapes[-1],
+                                coup_devs[-1])
+            if strides is None or 2 not in strides:
+                break
+            s_l = stencils[-1]
+            ws = [interp_weights_dev(s_l[:, c, c], theta, strides=strides,
+                                     mrs=params.max_row_sum)
+                  for c in range(nb)]
+            m = tuple(n // st for n, st in zip(shapes[-1], strides))
+            s_c = jnp.stack([jnp.stack([
+                rap_stencil_dev(s_l[:, ci, cj], ws[cj], strides=strides,
+                                w_left=None if ci == cj else ws[ci])
+                for cj in range(nb)], axis=1)
+                for ci in range(nb)], axis=1)
+            stencils.append(s_c)
+            weights.append(jnp.stack(ws))
+            stride_list.append(strides)
+            shapes.append(tuple(coarse_size(s) if st == 2 else s
+                                for s, st in zip(shapes[-1], strides)))
+        return stencils, weights, stride_list, shapes, coup_devs
+
+    # speculative full coarsening, verified with ONE coupling fetch
+    full = lambda lv, shape, _c: tuple(2 if n >= 2 else 1 for n in shape)
+    (stencils, weights, stride_list, shapes,
+     coup_devs) = build_chain([s0_dev], [], [], [tuple(grid_shape)], full)
+    coups = _jax.device_get(coup_devs)
+    bad = None
+    for l, (c, sh) in enumerate(zip(coups, shapes)):
+        want = strides_from_couplings(c, theta, sh)
+        if l < len(stride_list) and want != stride_list[l]:
+            bad = l
+            break
+    if bad is not None:
+        per_level = lambda lv, shape, c_dev: strides_from_couplings(
+            np.asarray(c_dev), theta, shape)
+        (stencils, weights, stride_list, shapes, _) = build_chain(
+            stencils[:bad + 1], weights[:bad], stride_list[:bad],
+            shapes[:bad + 1], per_level)
+
+    from ..sparse.dia import DIA
+
+    levels = []
+    nnz_dev = []
+    for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
+        inv_diag, inv_l1, lam = block_stats_dev(s_l)
+        if nb * int(np.prod(shape)) <= 100_000:
+            # power-iterate D⁻¹A on the flattened interleaved operator
+            # via the scalar machinery? the block matvec is cheap here:
+            lam = _lam_power_block_dev(s_l, inv_diag)
+        data, offs = block_stencil_to_dia_dev(
+            s_l, shape, nb=nb, slots=slots if l == 0 else None)
+        has_next = l < len(stencils) - 1
+        levels.append(BlockStructuredLevel(
+            a=DIA(data=data, offsets=offs, n=nb * int(np.prod(shape)),
+                  nnz=0),
+            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
+            shape=shape, nb=nb,
+            p_w=weights[l] if has_next else None,
+            strides=stride_list[l] if has_next else (2, 2, 2),
+        ))
+        nnz_dev.append(nnz_count_dev(s_l))
+    coarse = _dense_from_block_stencil_dev(stencils[-1], shapes[-1], nb)
+    coarse_inv = jnp.linalg.inv(coarse)
+    nnz = [int(v) for v in _jax.device_get(nnz_dev)]
+    rows = [nb * int(np.prod(sh)) for sh in shapes]
+    p_nnz_est = sum(int(np.prod(w.shape)) for w in weights)
+    stats = HierarchyStats(
+        n_levels=len(stencils), rows=rows, nnz=nnz,
+        sparsity=[z / max(r, 1) for z, r in zip(nnz, rows)],
+        grid_complexity=sum(rows) / max(rows[0], 1),
+        operator_complexity=sum(nnz) / max(nnz[0], 1),
+        memory_complexity=(sum(nnz) + p_nnz_est) / max(nnz[0], 1),
+    )
+    device = StructuredHierarchy(levels=tuple(levels),
+                                 coarse_inv=coarse_inv,
+                                 params=params.solve_view())
+    stats.t_setup = _time.perf_counter() - t0
+    return StructuredSetupResult(device, stats, params,
+                                 block_stencils=stencils,
+                                 weights=weights, strides=stride_list)
+
+
+import functools as _functools
+
+import jax as _jax_mod
+
+
+@_jax_mod.jit
+def _block_stencil_matvec_dev(s, x):
+    _, nb, _, nx, ny, nz = s.shape
+    x4 = x.reshape(nx, ny, nz, nb)
+    xp = jnp.pad(x4, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    y = jnp.zeros((nx, ny, nz, nb), dtype=x.dtype)
+    for k, (dx, dy, dz) in enumerate(DIRS):
+        xs = xp[1 + dx: 1 + dx + nx, 1 + dy: 1 + dy + ny,
+                1 + dz: 1 + dz + nz]
+        y = y + jnp.einsum("ijxyz,xyzj->xyzi", s[k], xs)
+    return y.reshape(-1)
+
+
+@_functools.partial(_jax_mod.jit, static_argnames=("iters",))
+def _lam_power_block_dev(s, inv_diag, iters: int = 12):
+    n = inv_diag.shape[0]
+    absum = jnp.moveaxis(jnp.abs(s).sum(axis=(0, 2)), 0, -1).reshape(-1)
+    gersh = jnp.max(absum * jnp.abs(inv_diag))
+    gersh = jnp.where(gersh > 0, gersh, 1.0)
+    x = _jax_mod.random.uniform(_jax_mod.random.PRNGKey(7), (n,),
+                                dtype=inv_diag.dtype) - 0.5
+    x = x / (jnp.linalg.norm(x) + 1e-30)
+    lam = jnp.asarray(1.0, dtype=inv_diag.dtype)
+    for _ in range(iters):
+        y = inv_diag * _block_stencil_matvec_dev(s, x)
+        lam = jnp.linalg.norm(y)
+        x = y / jnp.where(lam == 0, 1.0, lam)
+    return jnp.where(lam == 0, 1.0, jnp.minimum(1.1 * lam, gersh))
+
+
+@_functools.partial(_jax_mod.jit, static_argnames=("n", "nb"))
+def _dense_scatter_block(s, gather_idx, rows, cols, n, nb):
+    vals = s.reshape(-1)[gather_idx]
+    dense = jnp.zeros((nb * n, nb * n), dtype=s.dtype)
+    return dense.at[rows, cols].add(vals)
+
+
+def _dense_from_block_stencil_dev(s, shape, nb):
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    flat = (x * ny + y) * nz + z
+    rows_l, cols_l, gidx_l = [], [], []
+    stride_k = nb * nb * n
+    for k, (dx, dy, dz) in enumerate(DIRS):
+        xt, yt, zt = x + dx, y + dy, z + dz
+        ok = ((xt >= 0) & (xt < nx) & (yt >= 0) & (yt < ny)
+              & (zt >= 0) & (zt < nz))
+        src = flat[ok]
+        tgt = ((xt * ny + yt) * nz + zt)[ok]
+        for ci in range(nb):
+            for cj in range(nb):
+                rows_l.append(src * nb + ci)
+                cols_l.append(tgt * nb + cj)
+                gidx_l.append(k * stride_k + (ci * nb + cj) * n + src)
+    return _dense_scatter_block(
+        s, jnp.asarray(np.concatenate(gidx_l)),
+        jnp.asarray(np.concatenate(rows_l)),
+        jnp.asarray(np.concatenate(cols_l)), n, nb)
+
+
 def setup_structured_block(a: CSR, grid_shape, params: AMGParams,
-                           dtype, nb: int = 3):
-    """Build the all-banded block hierarchy (θ-sensitive, host setup).
+                           dtype, nb: int = 3, device_setup=None,
+                           stencil=None, slots=None):
+    """Build the all-banded block hierarchy (θ-sensitive).
 
     Returns a StructuredSetupResult whose device hierarchy carries
     BlockStructuredLevel levels (structured_mg.py); the V-cycle applies
-    per-component weighted transfers and the interleaved-DIA operators."""
+    per-component weighted transfers and the interleaved-DIA operators.
+
+    device_setup: run the jitted setup (setup_structured_block_device) —
+    defaults to True on TPU backends, where a θ-sweep then reuses one
+    compiled setup per shape. stencil: precomputed (27, nb, nb, …) block
+    stencil (numpy or device array) so sweeps upload the operator once."""
+    import jax as _jax
+
     from .structured_mg import (BlockStructuredLevel, StructuredHierarchy,
                                 StructuredSetupResult, _dense_inverse)
     from .transfer import coarse_size
 
     t0 = time.perf_counter()
-    s0 = csr_to_block_stencil(a, grid_shape, nb)
+    if stencil is not None:
+        s0 = stencil
+    else:
+        s0 = csr_to_block_stencil(a, grid_shape, nb)
     assert s0 is not None, (
         "operator reaches beyond the 3^3 node neighborhood "
         "(degree >= 2 FEM) - block structured path needs degree 1")
+    if device_setup is None:
+        device_setup = (isinstance(s0, _jax.Array)
+                        or _jax.default_backend() in ("tpu", "axon"))
+    if device_setup:
+        if slots is None and isinstance(s0, np.ndarray):
+            slots = tuple((k, ci, cj) for k in range(27)
+                          for ci in range(nb) for cj in range(nb)
+                          if np.any(s0[k, ci, cj]))
+        s_dev = jnp.asarray(s0, dtype=dtype)
+        return setup_structured_block_device(s_dev, grid_shape, params,
+                                             dtype, nb=nb, slots=slots)
+    s0 = np.asarray(s0)
     if s0.dtype != np.dtype(dtype):
         s0 = s0.astype(dtype)
     theta = params.strong_threshold

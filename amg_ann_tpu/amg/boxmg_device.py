@@ -97,15 +97,18 @@ def interp_weights_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "a_slots"))
-def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None):
+def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
     """jnp twin of boxmg.rap_stencil; a_slots = static tuple of the A
-    stencil slots that can be nonzero (all 27 when None)."""
+    stencil slots that can be nonzero (all 27 when None). w_left: LEFT
+    (restriction) weight stencil when it differs from w — the block
+    path's P_ciᵀ A_{ci,cj} P_cj contractions (boxmg_block.py)."""
     shape = s.shape[1:]
     m = tuple(n // st for n, st in zip(shape, strides))
     tables = [_DJ_TABLE2 if st == 2 else _DJ_TABLE1 for st in strides]
     pad = ((0, 0), (2, 2), (2, 2), (2, 2))
     sp = jnp.pad(s, pad)
     wp = jnp.pad(w, pad)
+    wlp = wp if w_left is None else jnp.pad(w_left, pad)
     if a_slots is None:
         a_slots = tuple(range(27))
 
@@ -121,7 +124,7 @@ def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None):
         if any(st == 1 and d != 0 for st, d in zip(strides, d1)):
             continue
         k1 = dir_index((-d1[0], -d1[1], -d1[2]))
-        w1 = sub(wp[k1], d1)
+        w1 = sub(wlp[k1], d1)
         for ka in a_slots:
             da = DIRS[ka]
             wa = w1 * sub(sp[ka], d1)

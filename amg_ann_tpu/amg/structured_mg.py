@@ -376,12 +376,15 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
     n_nodes = int(np.prod(grid_shape))
     if a.nrows != n_nodes:
         # vector operator (tc3 elasticity): nb interleaved components per
-        # node — unknown-based block path (amg/boxmg_block.py)
+        # node — unknown-based block path (amg/boxmg_block.py); `stencil`
+        # here is the (27, nb, nb, …) BLOCK stencil
         assert a.nrows % n_nodes == 0, (grid_shape, a.nrows)
         from .boxmg_block import setup_structured_block
 
         return setup_structured_block(a, grid_shape, params, dtype,
-                                      nb=a.nrows // n_nodes)
+                                      nb=a.nrows // n_nodes,
+                                      device_setup=device_setup,
+                                      stencil=stencil)
 
     if params.structured_interp == "operator":
         if stencil is not None:

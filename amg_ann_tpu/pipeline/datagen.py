@@ -335,10 +335,25 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
 
     is_block = a.nrows != int(np.prod(grid_shape))
     if is_block:
-        # vector operator (tc3): unknown-based block path — host setup
-        # per θ (no device-side block setup yet); solve rides the same
-        # compiled interleaved-DIA executables across the sweep
-        stencil = a_slots = None
+        # vector operator (tc3): unknown-based block path — the block
+        # stencil is built/uploaded ONCE; every θ re-runs one compiled
+        # device setup + solve (boxmg_block.setup_structured_block_device)
+        from ..amg.boxmg_block import csr_to_block_stencil
+
+        nb = a.nrows // int(np.prod(grid_shape))
+        sb = csr_to_block_stencil(a, grid_shape, nb)
+        assert sb is not None, "block structured sweep needs degree 1"
+        sb = sb.astype(np.float32)
+        a_slots = None
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            stencil = jnp.asarray(sb)
+            a_slots = tuple((k, ci, cj) for k in range(27)
+                            for ci in range(nb) for cj in range(nb)
+                            if np.any(sb[k, ci, cj]))
+        else:
+            stencil = sb
     else:
         s0 = csr_to_stencil(a, grid_shape)
         assert s0 is not None, "structured sweep needs a ≤27-point operator"
@@ -359,7 +374,18 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
                     aggressive_coarsening_num_levels=naggr,
                     smoother=cfg.smoother, dtype=np.float32)
                 if is_block:
-                    h = setup_structured(a, grid_shape, params)
+                    from ..amg.boxmg_block import setup_structured_block
+
+                    blk = lambda: setup_structured_block(
+                        a, grid_shape, params, np.float32, nb=nb,
+                        stencil=stencil,
+                        **({"slots": a_slots,
+                            "device_setup": True} if a_slots else {}))
+                    blk()                      # warm (absorbs compiles)
+                    h = blk()
+                    h2 = blk()
+                    if h2.stats.t_setup < h.stats.t_setup:
+                        h = h2
                 else:
                     # warm-up once (absorbs one-off executable compiles,
                     # which production never pays per θ), then time the

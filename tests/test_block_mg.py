@@ -189,6 +189,50 @@ class TestBlockSolve:
         np.testing.assert_allclose(r_blk.x, r_cls.x, rtol=1e-6, atol=1e-8)
 
 
+class TestBlockDeviceSetup:
+    """setup_structured_block_device (jitted, θ traced) must reproduce
+    the host setup — same offsets, operators, weights, coarse inverse."""
+
+    def test_device_matches_host(self, elas):
+        p, a, b, _ = elas
+        n1 = p.n_nodes_1d
+        gs = (n1, n1, n1)
+        params = AMGParams(strong_threshold=0.35, max_coarse_size=200,
+                           dtype=np.float32)
+        host = setup_structured_block(a, gs, params, np.float32,
+                                      device_setup=False)
+        dev = setup_structured_block(a, gs, params, np.float32,
+                                     device_setup=True)
+        assert len(host.device.levels) == len(dev.device.levels)
+        for lh, ld in zip(host.device.levels, dev.device.levels):
+            assert lh.a.offsets == ld.a.offsets
+            assert lh.strides == ld.strides
+            # f32 with O(10³) Lamé entries: the host/device RAP
+            # contractions accumulate in different orders
+            scale = float(np.abs(np.asarray(lh.a.data)).max())
+            np.testing.assert_allclose(np.asarray(ld.a.data),
+                                       np.asarray(lh.a.data),
+                                       rtol=3e-3, atol=3e-3 * scale)
+            np.testing.assert_allclose(np.asarray(ld.inv_diag),
+                                       np.asarray(lh.inv_diag),
+                                       rtol=1e-3, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(dev.device.coarse_inv),
+                                   np.asarray(host.device.coarse_inv),
+                                   rtol=2e-2, atol=1e-5)
+
+    def test_device_setup_solve_converges(self, elas):
+        from amg_ann_tpu.solvers.amg_solver import amg_solve
+
+        p, a, b, _ = elas
+        n1 = p.n_nodes_1d
+        params = AMGParams(strong_threshold=0.35, smoother="chebyshev",
+                           max_coarse_size=200, dtype=np.float32)
+        h = setup_structured_block(a, (n1, n1, n1), params, np.float32,
+                                   device_setup=True)
+        res = amg_solve(a, b, params, hierarchy=h, rtol=1e-6, tol=0.0)
+        assert res.converged and res.niters < 40
+
+
 class TestBlockPallas:
     def test_interpret_kernel_parity(self, elas):
         import jax
