@@ -82,6 +82,8 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
     stencil = jnp.asarray(s0)
 
     def t_of(theta: float, reps: int = 3) -> tuple:
+        """(t_us, niters, converged) — SCALARS only: keeping hierarchies
+        for 19 θ at 129³ exhausts HBM (~0.5 GB of device arrays each)."""
         params = AMGParams(strong_threshold=float(theta),
                            smoother="chebyshev", dtype=np.float32,
                            max_coarse_size=2048)
@@ -95,7 +97,7 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
                           tol=0.0)
             t = h.stats.t_setup * 1e6 + r.t_solve   # µs, reference metric
             if best is None or t < best[0]:
-                best = (t, r)
+                best = (t, r.niters, bool(r.converged))
         return best
 
     grid = np.round(np.arange(0.05, 0.951, 0.05), 2)
@@ -103,8 +105,9 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
     for th in grid:
         curve[float(th)] = t_of(th)
     t_default = curve[0.5][0]
-    t_star, r_star = (curve[round(theta_star, 2)]
-                      if round(theta_star, 2) in curve else t_of(theta_star))
+    t_star, niters_star, conv_star = (
+        curve[round(theta_star, 2)]
+        if round(theta_star, 2) in curve else t_of(theta_star))
     t_min = min(v[0] for v in curve.values())
     th_min = min(curve, key=lambda k: curve[k][0])
     perf = 1.0 - t_star / t_default
@@ -115,8 +118,7 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
                 "t_default_s": t_default / 1e6, "t_ann_s": t_star / 1e6,
                 "t_min_s": t_min / 1e6, "theta_min": th_min,
                 "P": round(perf, 4), "P_MAX": round(perf_max, 4),
-                "niters_ann": r_star.niters,
-                "converged": bool(r_star.converged),
+                "niters_ann": niters_star, "converged": conv_star,
                 "t_curve_s": {f"{k:.2f}": round(v[0] / 1e6, 4)
                               for k, v in curve.items()},
                 "model": model_id})
@@ -148,8 +150,12 @@ def config3_unstructured_dist(out):
 
 
 def config4_smoother_battle(out, n=64):
+    """Anisotropic diffusion, Chebyshev vs ℓ1-Jacobi smoothing — SOLVE
+    time on a prebuilt hierarchy (the smoother choice doesn't change
+    setup), warm, min-of-3, plus the θ-driven semicoarsening evidence."""
     from amg_ann_tpu.amg import AMGParams
     from amg_ann_tpu.fem import anisotropic_27pt
+    from amg_ann_tpu.amg.structured_mg import setup_structured
     from amg_ann_tpu.solvers import ir_solve
 
     a = anisotropic_27pt(n)
@@ -158,12 +164,20 @@ def config4_smoother_battle(out, n=64):
     for sm in ("chebyshev", "l1jacobi"):
         params = AMGParams(strong_threshold=0.9, smoother=sm,
                            dtype=np.float32, max_coarse_size=2048)
-        r = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8)
-        t0 = time.perf_counter()
-        r = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8)
-        rec[sm] = dict(t_s=time.perf_counter() - t0,
-                       inner_iters=r.inner_iters,
-                       converged=bool(r.converged))
+        h = setup_structured(a, (n, n, n), params)
+        best = None
+        for rep in range(4):
+            r = ir_solve(a, b, params, hierarchy=h, rtol=1e-8,
+                         equilibrate=False)
+            if rep and (best is None or r.t_solve < best.t_solve):
+                best = r              # rep 0 = warm/compile
+        rec[sm] = dict(t_solve_s=best.t_solve / 1e6,
+                       t_setup_s=h.stats.t_setup,
+                       inner_iters=best.inner_iters,
+                       outer_iters=best.outer_iters,
+                       converged=bool(best.converged),
+                       levels=h.stats.n_levels,
+                       strides_l0=list(h.device.levels[0].strides))
     _emit(out, rec)
 
 
