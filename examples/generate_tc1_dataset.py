@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--view-size", type=int, default=75)
     ap.add_argument("--pooling-only", action="store_true")
     ap.add_argument("--times-only", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep the existing stats.csv and skip configs "
+                         "whose setting name already appears in it")
     args = ap.parse_args()
 
     import jax
@@ -72,10 +75,19 @@ def main():
         outdir = os.path.join(args.out, sub)
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, "stats.csv")
+        done = set()
         if os.path.exists(path):
-            os.remove(path)
+            if args.resume:
+                with open(path) as fh:
+                    done = {ln.split(",", 1)[0] for ln in fh}
+            else:
+                os.remove(path)
         t00 = time.time()
         for i, cfg in enumerate(job_cfgs):
+            if cfg.setting_name in done:
+                print(f"[{sub} {i + 1}/{len(job_cfgs)}] {cfg.setting_name} "
+                      f"resumed (skip)", flush=True)
+                continue
             t0 = time.time()
             run_config(cfg, path)
             print(f"[{sub} {i + 1}/{len(job_cfgs)}] {cfg.setting_name} "
