@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--raw", default="data/raw/tc2-ref")
+    ap.add_argument("--app", default="testcase2-diffusion-structured",
+                    help="reference app name (drives CSV keys/metadata)")
+    ap.add_argument("--raw", default=None)
     ap.add_argument("--processed", default="data/processed/tc2-ref")
     ap.add_argument("--models", default="data/models/tc2-ref")
     ap.add_argument("--view-size", type=int, default=75)
@@ -46,7 +48,16 @@ def main():
     from amg_ann_tpu.pipeline.preprocess import (preprocess_data,
                                                  split_train_validation_test)
 
-    app = "testcase2-diffusion-structured"
+    app = args.app
+    short = {"testcase2-diffusion-structured": "tc2-ref",
+             "testcase1-diffusion-unstructured": "tc1-ref",
+             "testcase3-linear-elasticity": "tc3-ref"}[app]
+    if args.raw is None:
+        args.raw = os.path.join("data", "raw", short)
+    if args.processed == "data/processed/tc2-ref":
+        args.processed = os.path.join("data", "processed", short)
+    if args.models == "data/models/tc2-ref":
+        args.models = os.path.join("data", "models", short)
     # -- preprocess ---------------------------------------------------------
     stats_csv = os.path.join(args.raw, "times", "stats.csv")
     view_csv = os.path.join(args.raw, f"pooling{args.view_size}",
