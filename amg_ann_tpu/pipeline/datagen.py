@@ -122,9 +122,9 @@ def _build_tc1(cfg, cycle):
     a, b, x0 = p.build()
     prefix = ",".join([
         cfg.setting_name, "3", str(p.ndof), str(base_ref + cycle),
-        "1", str(p.sol_id), _f(float(p.freq)), p.mesh, p.renumbering,
-        str(p.seed), _f(float(p.max_diffusion)), str(num_bas_ref),
-        str(int(time.time())),
+        str(p.degree), str(p.sol_id), _f(float(p.freq)), p.mesh,
+        p.renumbering, str(p.seed), _f(float(p.max_diffusion)),
+        str(num_bas_ref), str(int(time.time())),
     ])
     return a, b, x0, prefix, None
 

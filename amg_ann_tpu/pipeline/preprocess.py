@@ -113,11 +113,13 @@ def preprocess_data(stats_csv: str | pd.DataFrame, app: str,
     if len(df.groupby(keys + ["theta"])) != len(df):
         # repeated measurements: average numerics, first() the rest
         gcols = keys + ["theta"]
+        # pandas-3 arrow strings have dtype 'str', not 'object' — classify
+        # by numeric-ness, not by not-object-ness
         col_types = df.dtypes.to_dict()
-        number_col = [k for k in col_types
-                      if col_types[k].name != "object" and k not in gcols]
-        object_col = [k for k in col_types
-                      if col_types[k].name == "object" and k not in gcols]
+        number_col = [k for k in col_types if k not in gcols
+                      and pd.api.types.is_numeric_dtype(df[k])]
+        object_col = [k for k in col_types if k not in gcols
+                      and not pd.api.types.is_numeric_dtype(df[k])]
         df1 = df.groupby(gcols)[number_col].mean()
         df2 = df.groupby(gcols)[object_col].first()
         df = pd.concat([df1, df2], axis=1).reset_index()
