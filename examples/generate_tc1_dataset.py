@@ -19,16 +19,18 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_configs():
+def make_configs(n_seeds: int = 3):
     from amg_ann_tpu.pipeline.datagen import APP_TC1, SweepConfig
 
     cfgs = []
     for mesh, refs in (("Cube", (1, 2)), ("HyperBall", (1, 2)),
                        ("Cylinder", (1, 2)), ("Cheese", (1,)),
-                       ("ReplicateHoles", (1,))):
+                       ("ReplicateHoles", (1,)), ("Torus", (1, 2)),
+                       ("PlateWithHole", (1, 2)), ("Simplex", (1, 2)),
+                       ("ReplicateCross", (1,))):
         for ref in refs:
             for deg in (1, 2) if ref == 1 else (1,):
-                for seed in range(3):
+                for seed in range(n_seeds):
                     cfgs.append(SweepConfig(
                         app=APP_TC1,
                         problem=dict(mesh=mesh, refinements=ref,
@@ -49,6 +51,7 @@ def main():
     ap.add_argument("--view-size", type=int, default=75)
     ap.add_argument("--pooling-only", action="store_true")
     ap.add_argument("--times-only", action="store_true")
+    ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--resume", action="store_true",
                     help="keep the existing stats.csv and skip configs "
                          "whose setting name already appears in it")
@@ -60,7 +63,7 @@ def main():
 
     from amg_ann_tpu.pipeline.datagen import run_config
 
-    cfgs = make_configs()
+    cfgs = make_configs(args.seeds)
     print(f"{len(cfgs)} configurations (cpu classical path)")
     jobs = []
     if not args.pooling_only:
