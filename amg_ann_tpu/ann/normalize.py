@@ -25,6 +25,15 @@ def extended_log(x):
     return np.log(np.abs(x) + 1) * np.sign(x)
 
 
+def _unit_scale(x):
+    """x / max|x|, with an all-zero channel passed through unchanged
+    (a 0/0 here would NaN the whole image; an identically-zero channel —
+    e.g. max_np of a matrix with no negative entries — is information in
+    itself and is kept as zeros)."""
+    m = np.abs(x).max()
+    return x / m if m > 0 else x
+
+
 def _safe_div_by_count(matrx, count):
     with np.errstate(divide="ignore", invalid="ignore"):
         return np.where(count > 0, matrx / count, 0.0)
@@ -35,17 +44,13 @@ def norm_view(matrx, count, mode, dataset_max=None):
     matrx = np.asarray(matrx, dtype=np.float64)
     count = np.asarray(count)
     if mode == "pure":
-        return matrx / np.abs(matrx).max()
+        return _unit_scale(matrx)
     if mode == "resc":
-        tmp = _safe_div_by_count(matrx, count)
-        return tmp / np.abs(tmp).max()
+        return _unit_scale(_safe_div_by_count(matrx, count))
     if mode == "pure_log":
-        tmp = extended_log(matrx)
-        return tmp / np.abs(tmp).max()
+        return _unit_scale(extended_log(matrx))
     if mode == "resc_log":
-        tmp = _safe_div_by_count(matrx, count)
-        tmp = extended_log(tmp)
-        return tmp / np.abs(tmp).max()
+        return _unit_scale(extended_log(_safe_div_by_count(matrx, count)))
     if mode == "nothing":
         return matrx
     if mode == "mean":

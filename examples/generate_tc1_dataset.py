@@ -23,13 +23,16 @@ def make_configs(n_seeds: int = 3):
     from amg_ann_tpu.pipeline.datagen import APP_TC1, SweepConfig
 
     cfgs = []
+    # Simplex's base mesh is ONE tet — r1/r2 give 10/35-DoF toys whose
+    # views degenerate (all-zero max_np channel); r4/r5 put it in the same
+    # ndof band as the other families.
     for mesh, refs in (("Cube", (1, 2)), ("HyperBall", (1, 2)),
                        ("Cylinder", (1, 2)), ("Cheese", (1,)),
                        ("ReplicateHoles", (1,)), ("Torus", (1, 2)),
-                       ("PlateWithHole", (1, 2)), ("Simplex", (1, 2)),
+                       ("PlateWithHole", (1, 2)), ("Simplex", (4, 5)),
                        ("ReplicateCross", (1,))):
         for ref in refs:
-            for deg in (1, 2) if ref == 1 else (1,):
+            for deg in (1, 2) if ref == refs[0] else (1,):
                 for seed in range(n_seeds):
                     cfgs.append(SweepConfig(
                         app=APP_TC1,
