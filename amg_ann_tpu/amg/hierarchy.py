@@ -184,8 +184,13 @@ def _estimate_lam_max(a: CSR, inv_diag: np.ndarray, iters: int = 12,
     return 1.1 * lam  # safety margin
 
 
-def setup(a: CSR, params: AMGParams | None = None, **kw) -> Hierarchy:
-    """Build the full AMG hierarchy for matrix `a`."""
+def setup(a: CSR, params: AMGParams | None = None, host_only: bool = False,
+          **kw) -> Hierarchy:
+    """Build the full AMG hierarchy for matrix `a`.
+
+    host_only=True skips the device pytree (hierarchy-statistics sweeps —
+    the reference's BoomerAMG 'output_details' dump, parser.h:240-256 —
+    need only the host CSR levels)."""
     if params is None:
         params = AMGParams(**kw)
     t0 = time.perf_counter()
@@ -216,7 +221,8 @@ def setup(a: CSR, params: AMGParams | None = None, **kw) -> Hierarchy:
         level += 1
 
     stats = _make_stats(a_mats, p_mats)
-    device = _to_device(a_mats, p_mats, params, dtype)
+    device = (None if host_only
+              else _to_device(a_mats, p_mats, params, dtype))
     stats.t_setup = time.perf_counter() - t0
     return Hierarchy(a_mats, p_mats, device, stats, params)
 
