@@ -47,7 +47,17 @@ from .boxmg import (choose_strides, csr_to_stencil, interp_csr,
                     interp_weights, rap_stencil, stencil_diag_stats,
                     stencil_lam_max, stencil_to_csr, stencil_to_dia)
 from .hierarchy import AMGParams, HierarchyStats, _estimate_lam_max
-from .transfer import coarse_size, prolongation_csr
+from .transfer import coarse_size, prolongation_csr, transfer_dia
+
+
+def _want_transfer_dia(shape) -> bool:
+    """Build the DIA-form transfers for a level: levels big enough for the
+    Pallas kernels, on accelerator backends (the CPU oracle path keeps the
+    pad/slice transfers; nothing would read the extra bands there)."""
+    from ..solvers.ops import PALLAS_MIN_ROWS
+
+    return (int(np.prod(shape)) >= PALLAS_MIN_ROWS
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 @struct.dataclass
@@ -63,6 +73,12 @@ class StructuredLevel:
     # per-axis coarsening strides toward the NEXT level (θ-driven
     # semicoarsening); (2, 2, 2) = full coarsening
     strides: tuple = struct.field(pytree_node=False, default=(2, 2, 2))
+    # DIA-form transfers (amg/transfer.transfer_dia): the same weights as
+    # masked banded operators so P/R run as ONE Pallas launch each on TPU
+    # instead of ~80-op pad/slice chains; None where p_w is None or the
+    # level is too small to use the kernels
+    p_dia: Optional[DIA] = None
+    r_dia: Optional[DIA] = None
 
 
 @struct.dataclass
@@ -173,6 +189,10 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
         inv_diag, inv_l1, _ = stencil_diag_stats(s_l)
         lam = stencil_lam_max(s_l, inv_diag)
         has_next = l < len(stencils) - 1
+        p_dia = r_dia = None
+        if has_next and _want_transfer_dia(shape):
+            p_dia, r_dia = transfer_dia(
+                jnp.asarray(weights[l], dtype=dtype), shape, stride_list[l])
         levels.append(StructuredLevel(
             a=stencil_to_dia(s_l, dtype=dtype, keep_all_slots=(l > 0)),
             inv_diag=jnp.asarray(inv_diag, dtype=dtype),
@@ -181,6 +201,7 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
             shape=shape,
             p_w=jnp.asarray(weights[l], dtype=dtype) if has_next else None,
             strides=stride_list[l] if has_next else (2, 2, 2),
+            p_dia=p_dia, r_dia=r_dia,
         ))
     coarse_inv = _dense_inverse(stencil_to_csr(stencils[-1]))
     device = StructuredHierarchy(
@@ -276,12 +297,16 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             lam = lam_power_dev(s_l, inv_diag)
         data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
         has_next = l < len(stencils) - 1
+        p_dia = r_dia = None
+        if has_next and _want_transfer_dia(shape):
+            p_dia, r_dia = transfer_dia(weights[l], shape, stride_list[l])
         levels.append(StructuredLevel(
             a=DIA(data=data, offsets=offs, n=int(np.prod(shape)), nnz=0),
             inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
             shape=shape,
             p_w=weights[l] if has_next else None,
             strides=stride_list[l] if has_next else (2, 2, 2),
+            p_dia=p_dia, r_dia=r_dia,
         ))
         nnz_dev.append(nnz_count_dev(s_l))
     coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])

@@ -174,6 +174,95 @@ def restrict_bw(fv, w_stack, fine_shape, strides=(2, 2, 2)):
     return jnp.stack(outs, axis=-1).reshape(-1)
 
 
+# -- DIA-form weighted transfers ---------------------------------------------
+# prolongate_w / restrict_w above are 27-term pad/slice chains (~80 XLA ops
+# each). But both ARE banded operators on the FINE index space:
+#
+#   P: f[i] = Σ_k (m_k ⊙ W[k])[i] · inject(c)[i + o_k]
+#   R: c[J] = subsample( Σ_k shift(m_k ⊙ W[k], o_k)[i] · f[i − o_k] )[J]
+#
+# with o_k the flat offset of direction d_k and m_k the static in-grid mask
+# (1 iff the tap's 3-D neighbor exists — the flat shift would otherwise wrap
+# into an adjacent grid line). So each transfer is ONE DIA SpMV — on TPU one
+# Pallas launch streaming the weights once — plus a cheap interleave /
+# subsample. Offsets are all 27 statically (θ-independent jit keys).
+
+def _ingrid_masks(shape):
+    """(27, nx, ny, nz) float masks: m_k = 1 iff i + d_k stays in-grid."""
+    nx, ny, nz = shape
+    masks = np.zeros((27, nx, ny, nz), dtype=np.float32)
+    for k, (dx, dy, dz) in enumerate(_dirs27()):
+        sl = tuple(slice(max(0, -d), min(s, s - d))
+                   for d, s in ((dx, nx), (dy, ny), (dz, nz)))
+        masks[k][sl] = 1.0
+    return masks
+
+
+def _shift_flat(v, o: int):
+    """shift(v, o)[i] = v[i − o] (zeros shifted in; nothing wraps)."""
+    if o > 0:
+        return jnp.concatenate([jnp.zeros((o,), dtype=v.dtype), v[:-o]])
+    if o < 0:
+        return jnp.concatenate([v[-o:], jnp.zeros((-o,), dtype=v.dtype)])
+    return v
+
+
+def transfer_dia(w, fine_shape, strides=(2, 2, 2)):
+    """(p_dia, r_dia) DIA operands equivalent to prolongate_w/restrict_w.
+
+    w: (27, nx, ny, nz) weight stencil (numpy or traced). Both operands
+    act on FINE-length vectors; collisions of distinct directions on one
+    flat offset (tiny axes) are summed — at most one of them is in-grid
+    at any point (3-D↔flat bijection), so the sum is exact.
+    """
+    from ..sparse.dia import DIA, padded_rows
+
+    nx, ny, nz = fine_shape
+    n = nx * ny * nz
+    masks = _ingrid_masks(fine_shape)
+    r = padded_rows(n, 128)
+    npad = r * 128 - n
+
+    flat_off = {}
+    for k, (dx, dy, dz) in enumerate(_dirs27()):
+        o = (dx * ny + dy) * nz + dz
+        flat_off.setdefault(o, []).append(k)
+    offs = sorted(flat_off)
+
+    p_rows, r_rows = [], []
+    for o in offs:
+        band = jnp.zeros((n,), dtype=w.dtype)
+        for k in flat_off[o]:
+            band = band + (w[k] * masks[k]).reshape(-1)
+        p_rows.append(jnp.pad(band, (0, npad)) if npad else band)
+        rb = _shift_flat(band, o)
+        r_rows.append(jnp.pad(rb, (0, npad)) if npad else rb)
+
+    mk = lambda rows, os_: DIA(
+        data=jnp.stack(rows).reshape(len(rows), r, 128),
+        offsets=tuple(os_), n=n, nnz=n * len(rows))
+    return (mk(p_rows, offs), mk(r_rows, [-o for o in offs]))
+
+
+def interleave_flat(c, fine_shape, strides=(2, 2, 2)):
+    """inject(c): flat coarse → flat fine with values at odd positions per
+    stride-2 axis and zeros elsewhere (the P-as-DIA operand)."""
+    cs = tuple(coarse_size(s) if st == 2 else s
+               for s, st in zip(fine_shape, strides))
+    f0 = c.reshape(cs)
+    for ax, (n, st) in enumerate(zip(fine_shape, strides)):
+        if st == 2:
+            f0 = _interleave(f0, n, ax)
+    return f0.reshape(-1)
+
+
+def subsample_flat(f, fine_shape, strides=(2, 2, 2)):
+    """Values at the coarse positions (2J+1 per stride-2 axis), flat."""
+    sl = tuple(slice(1, None, 2) if st == 2 else slice(None)
+               for st in strides)
+    return f.reshape(fine_shape)[sl].reshape(-1)
+
+
 def restrict_w(fv, w, fine_shape, strides=(2, 2, 2)):
     """xc = Pᵀ xf with weight stencil w (exact adjoint of prolongate_w).
 

@@ -17,11 +17,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..amg.structured_mg import BlockStructuredLevel, StructuredLevel
-from ..amg.transfer import (prolongate, prolongate_bw, prolongate_w,
-                            restrict, restrict_bw, restrict_w)
+from ..amg.transfer import (interleave_flat, prolongate, prolongate_bw,
+                            prolongate_w, restrict, restrict_bw, restrict_w,
+                            subsample_flat)
 from ..sparse.ell import spmv
-from .ops import op_matvec
+from .ops import _use_pallas, op_matvec
 from .smoothers import smooth_rx
+
+# DIA-form transfer dispatch: "auto" = one-Pallas-launch transfers where
+# the level carries them AND the kernel pays (TPU, big level — the same
+# _use_pallas gate as the smoothers); "always"/"never" pin the choice
+# (tests exercise the jnp DIA path on CPU with "always").
+TRANSFER_DIA_MODE = "auto"
+
+
+def _dia_transfers(lev) -> bool:
+    if TRANSFER_DIA_MODE == "never" or lev.p_dia is None:
+        return False
+    return TRANSFER_DIA_MODE == "always" or _use_pallas(lev.p_dia)
 
 
 def vcycle(h, b):
@@ -54,6 +67,8 @@ def _cycle(h, l, b):
     if block:
         assert weighted, "block levels always carry per-component weights"
         bc = restrict_bw(r, lev.p_w, lev.shape, lev.strides)
+    elif weighted and _dia_transfers(lev):
+        bc = subsample_flat(op_matvec(lev.r_dia, r), lev.shape, lev.strides)
     elif weighted:
         bc = restrict_w(r, lev.p_w, lev.shape, lev.strides)
     elif structured:
@@ -69,6 +84,9 @@ def _cycle(h, l, b):
         xc = xc + _cycle(h, l + 1, rc)
     if block:
         x = x + prolongate_bw(xc, lev.p_w, lev.shape, lev.strides)
+    elif weighted and _dia_transfers(lev):
+        x = x + op_matvec(lev.p_dia,
+                          interleave_flat(xc, lev.shape, lev.strides))
     elif weighted:
         x = x + prolongate_w(xc, lev.p_w, lev.shape, lev.strides)
     elif structured:

@@ -22,10 +22,16 @@ def _on_tpu() -> bool:
         return False
 
 
-# Use the Pallas kernel only where it pays: large levels. Small levels are
-# latency-bound either way, and every distinct (K, R) shape costs a separate
-# kernel compilation (minutes through this image's remote-compile tunnel).
-PALLAS_MIN_ROWS = 100_000
+# Pallas floor: levels with n ≥ this ride the fused kernels. The 64³
+# solve is op-LATENCY bound (CLAUDE.md round-2): a coarse-level Chebyshev
+# sweep on the jnp roll path is ~60 small XLA ops, the same sweep fused is
+# ONE launch, so the kernels pay on every level big enough for legal
+# (8, 128) Mosaic tiles — n ≥ 2048 keeps R ≥ 16 rows. (The 512-dof level
+# stays on the jnp path: its R = 8 would force sub-tile blocks.) Each
+# distinct (K, R) shape still costs one remote-tunnel compile (minutes,
+# then .jax_cache-cached) — keep level shapes canonical (sparse/dia.
+# padded_rows) so a whole sweep reuses a handful of shapes.
+PALLAS_MIN_ROWS = 2048
 
 
 def _use_pallas(op) -> bool:

@@ -384,3 +384,60 @@ class TestDeviceSetup:
         params = AMGParams(smoother="chebyshev", strong_threshold=0.9)
         hd = setup_structured(a, (16, 16, 16), params, device_setup=True)
         assert any(st != (2, 2, 2) for st in hd.strides)
+
+
+class TestDIATransfers:
+    """DIA-form transfers (amg/transfer.transfer_dia): the pad/slice
+    transfer chains recast as masked banded operators so P/R each run as
+    one Pallas launch on TPU (solvers/cycle._dia_transfers)."""
+
+    def test_transfer_dia_matches_oracles(self, rng):
+        from amg_ann_tpu.amg.transfer import (coarse_size, interleave_flat,
+                                              subsample_flat, transfer_dia)
+
+        for shape, strides in [((8, 8, 8), (2, 2, 2)),
+                               ((7, 5, 6), (2, 2, 2)),
+                               ((9, 6, 8), (1, 2, 2)),
+                               ((6, 7, 5), (2, 1, 2))]:
+            nx, ny, nz = shape
+            n = nx * ny * nz
+            cs = tuple(coarse_size(s) if st == 2 else s
+                       for s, st in zip(shape, strides))
+            m = int(np.prod(cs))
+            w = jnp.asarray(
+                rng.standard_normal((27, nx, ny, nz)).astype(np.float32))
+            c = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+            f = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            p_dia, r_dia = transfer_dia(w, shape, strides)
+            np.testing.assert_allclose(
+                np.asarray(dia_spmv(p_dia,
+                                    interleave_flat(c, shape, strides))),
+                np.asarray(prolongate_w(c, w, shape, strides)),
+                rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(subsample_flat(dia_spmv(r_dia, f),
+                                          shape, strides)),
+                np.asarray(restrict_w(f, w, shape, strides)),
+                rtol=2e-5, atol=2e-5)
+
+    def test_solve_parity_with_dia_transfers(self, monkeypatch):
+        """Whole AMG-PCG solve is unchanged when the V-cycle routes its
+        transfers through the DIA operands (jnp path on CPU)."""
+        from amg_ann_tpu.amg import structured_mg
+        from amg_ann_tpu.solvers import cycle
+
+        a = _jump_operator(n=12, seed=3)
+        b = a.matvec(np.random.default_rng(1).random(12**3))
+        params = AMGParams(smoother="chebyshev", strong_threshold=0.3)
+        ref = amg_solve(a, b, params, grid_shape=(12, 12, 12),
+                        rtol=1e-8, tol=0.0, maxiter=300)
+
+        monkeypatch.setattr(structured_mg, "_want_transfer_dia",
+                            lambda shape: True)
+        monkeypatch.setattr(cycle, "TRANSFER_DIA_MODE", "always")
+        got = amg_solve(a, b, params, grid_shape=(12, 12, 12),
+                        rtol=1e-8, tol=0.0, maxiter=300)
+        assert got.converged and ref.converged
+        assert abs(got.niters - ref.niters) <= 1, (got.niters, ref.niters)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-4, atol=1e-5)
