@@ -48,27 +48,59 @@ def _timed_solve(h, b, mesh, rtol, reps: int = 3):
     return res, dt
 
 
+def _bench_problem(n: int):
+    from ..amg.hierarchy import AMGParams
+    from ..amg.structured_mg import setup_structured
+    from ..fem import poisson_7pt
+
+    a = poisson_7pt(n, dtype=np.float32)
+    b = a.matvec(np.random.default_rng(0).random(n ** 3))
+    params = AMGParams(smoother="chebyshev", dtype=np.float32,
+                       max_coarse_size=2048)
+    h = setup_structured(a, (n, n, n), params)
+    return h, b, sum(h.stats.nnz)         # per V-cycle+matvec work proxy
+
+
+def measure_mesh(n: int = 64, rtol: float = 1e-6,
+                 n_devices: int | None = None) -> dict:
+    """nnz/s of the sharded structured solve on the FULL (possibly
+    multi-process) device mesh. Every process of a jax.distributed job
+    calls this with identical arguments (SPMD); all report the same
+    numbers. The single-host/1-device baseline cannot run inside a
+    multi-process job (a mesh omitting a process's devices is illegal),
+    so multi-host scaling efficiency is baseline ÷ this across two runs —
+    examples/run_multihost_scaling.py orchestrates that."""
+    from .sharded import make_mesh
+
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    h, b, work_nnz = _bench_problem(n)
+    res, t = _timed_solve(h, b, make_mesh(n_devices), rtol)
+    return {
+        "n": n,
+        "devices": n_devices,
+        "processes": jax.process_count(),
+        "niters": int(res.niters),
+        "converged": bool(res.converged),
+        "t_solve_s": t,
+        "nnz_per_s": int(res.niters) * work_nnz / t,
+    }
+
+
 def scaling_report(n: int = 64, rtol: float = 1e-6,
                    n_devices: int | None = None) -> dict:
     """nnz/s of the sharded structured solve at 1 device vs the full mesh.
 
     Every operand is placed on the mesh (shard_structured_hierarchy);
     the V-cycle exchanges halos inside shard_map. Returns per-mesh
-    throughput and the N-device scaling efficiency."""
-    from ..amg.hierarchy import AMGParams
-    from ..amg.structured_mg import setup_structured
-    from ..fem import poisson_7pt
+    throughput and the N-device scaling efficiency. Single-process form;
+    see measure_mesh for multi-process jobs."""
     from .sharded import make_mesh
 
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
-    a = poisson_7pt(n, dtype=np.float32)
-    b = a.matvec(np.random.default_rng(0).random(n ** 3))
-    params = AMGParams(smoother="chebyshev", dtype=np.float32,
-                       max_coarse_size=2048)
-    h = setup_structured(a, (n, n, n), params)
-    work_nnz = sum(h.stats.nnz)           # per V-cycle+matvec proxy
+    h, b, work_nnz = _bench_problem(n)
 
     res1, t1 = _timed_solve(h, b, make_mesh(1), rtol)
     resn, tn = _timed_solve(h, b, make_mesh(n_devices), rtol)
