@@ -43,7 +43,7 @@ def worker(args):
     from amg_ann_tpu.dist.multihost import measure_mesh
 
     rep = measure_mesh(n=args.n, rtol=args.rtol)
-    if jax.process_id() == 0:
+    if jax.process_index() == 0:
         with open(args.result, "w") as f:
             json.dump(rep, f)
     # multi-process shutdown wants everyone to reach the end together
