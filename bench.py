@@ -65,6 +65,23 @@ def main():
     except Exception:
         pass
 
+    # fail FAST if the axon tunnel is dead (jax.devices() would hang the
+    # driver otherwise): device discovery in a daemon thread with a bound
+    import threading
+
+    devs_box = []
+    t = threading.Thread(target=lambda: devs_box.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
+    if not devs_box:
+        print(json.dumps({"metric": "amg_pcg_vcycle_spmv_throughput",
+                          "value": 0.0, "unit": "Gnnz/s",
+                          "vs_baseline": 0.0, "converged": False,
+                          "error": "device discovery timed out "
+                                   "(axon TPU tunnel down?)"}))
+        sys.exit(1)
+
     from amg_ann_tpu.amg import AMGParams
     from amg_ann_tpu.amg.structured_mg import setup_structured
     from amg_ann_tpu.fem import poisson_7pt
