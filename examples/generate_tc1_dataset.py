@@ -19,7 +19,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_configs(n_seeds: int = 3):
+def make_configs(n_seeds: int = 3, extended: bool = False):
+    """Base grid: 9 mesh families × refinements × degree 1-2 × seeds, all
+    at maxdiff=6 / cuthill_mckee. `extended` adds the reference's other
+    sweep axes (datagen.py:26-34): max diffusion exponent ∈ {1, 3, 10}
+    (conditioning structure) and the remaining three renumberings (the
+    view image the CNN sees changes with the bandwidth pattern)."""
     from amg_ann_tpu.pipeline.datagen import APP_TC1, SweepConfig
 
     cfgs = []
@@ -45,6 +50,32 @@ def make_configs(n_seeds: int = 3):
                         cycles=1,
                         setting_name=f"tc1ref-{mesh}-r{ref}-d{deg}-s{seed}",
                     ))
+        if extended:
+            ref, nsx = refs[0], min(n_seeds, 3)
+            for md in (1.0, 3.0, 10.0):
+                for seed in range(nsx):
+                    cfgs.append(SweepConfig(
+                        app=APP_TC1,
+                        problem=dict(mesh=mesh, refinements=ref, degree=1,
+                                     seed=seed, max_diffusion=md,
+                                     renumbering="cuthill_mckee"),
+                        tol=1e-6, rtol_mode=True, smoother="chebyshev",
+                        strong_threshold=(0.05, 0.96, 0.05), cycles=1,
+                        setting_name=(f"tc1ref-{mesh}-r{ref}-d1-s{seed}"
+                                      f"-m{md:g}"),
+                    ))
+            for renum in ("none", "king_ordering", "subdomain_wise"):
+                for seed in range(nsx):
+                    cfgs.append(SweepConfig(
+                        app=APP_TC1,
+                        problem=dict(mesh=mesh, refinements=ref, degree=1,
+                                     seed=seed, max_diffusion=6.0,
+                                     renumbering=renum),
+                        tol=1e-6, rtol_mode=True, smoother="chebyshev",
+                        strong_threshold=(0.05, 0.96, 0.05), cycles=1,
+                        setting_name=(f"tc1ref-{mesh}-r{ref}-d1-s{seed}"
+                                      f"-{renum}"),
+                    ))
     return cfgs
 
 
@@ -55,6 +86,8 @@ def main():
     ap.add_argument("--pooling-only", action="store_true")
     ap.add_argument("--times-only", action="store_true")
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--extended", action="store_true",
+                    help="add max-diffusion {1,3,10} and the other renumberings")
     ap.add_argument("--resume", action="store_true",
                     help="keep the existing stats.csv and skip configs "
                          "whose setting name already appears in it")
@@ -66,7 +99,7 @@ def main():
 
     from amg_ann_tpu.pipeline.datagen import run_config
 
-    cfgs = make_configs(args.seeds)
+    cfgs = make_configs(args.seeds, extended=args.extended)
     print(f"{len(cfgs)} configurations (cpu classical path)")
     jobs = []
     if not args.pooling_only:
