@@ -176,6 +176,41 @@ def plot_sigma_bar_elbow(study: dict, save_path=None):
     return fig
 
 
+def plot_spectrum(spec_df, save_path=None):
+    """tc2.1 conditioning-study figure (data_analysis.py:70-157): κ vs h
+    (log-log, one line per diffusion exponent, with the slope of the
+    fitted power law) and κ vs the marked-point distance from the domain
+    center (one line per refinement)."""
+    # keep, per problem, the row from the most accurate solver AVAILABLE
+    # (the dense verification only runs on ≤2048-dof systems)
+    keys = [c for c in ("mesh_ref", "diff", "dist_center")
+            if c in spec_df.columns]
+    df = spec_df.loc[spec_df.groupby(keys)["solver"].idxmax()]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9.5, 4))
+    for d, g in df.groupby("diff"):
+        g = g.groupby("h", as_index=False)["kappa"].mean().sort_values("h")
+        slope = (np.polyfit(np.log(g["h"]), np.log(g["kappa"]), 1)[0]
+                 if len(g) >= 2 else np.nan)
+        ax1.loglog(g["h"], g["kappa"], "o-",
+                   label=f"diff exp {d:g} (slope {slope:.2f})")
+    ax1.set_xlabel("h")
+    ax1.set_ylabel(r"$\kappa = \lambda_{max}/\lambda_{min}$")
+    ax1.legend(fontsize=7)
+    finest = df[df["mesh_ref"] == df["mesh_ref"].max()]
+    for d, g in finest.groupby("diff"):
+        g = g.groupby("dist_center", as_index=False)["kappa"].mean()
+        ax2.semilogy(g["dist_center"], g["kappa"], "s-",
+                     label=f"diff exp {d:g}")
+    ax2.set_xlabel("marked-point distance from center")
+    ax2.set_ylabel(rf"$\kappa$ (ref {int(df['mesh_ref'].max())})")
+    ax2.legend(fontsize=7)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_cost_scaling(perf_df, save_path=None):
     """Cost-scaling regression figure (model_evaluation.py:430-565):
     t/ndof against ndof (log-x) per degree, default θ vs ANN-predicted θ*,

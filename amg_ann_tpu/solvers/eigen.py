@@ -79,6 +79,14 @@ def lanczos_extremal(a: CSR | ell_mod.ELL, m: int = 100,
     alphas, betas = _lanczos(a_ell, v0, m)
     alphas = np.asarray(alphas)
     betas = np.asarray(betas)
+    # truncate at the first non-finite coefficient (f32 recurrence can
+    # diverge on κ ≳ 1e7 operators — run under jax_enable_x64 for those;
+    # this keeps the truncated Ritz values usable instead of crashing
+    # eigvalsh on NaNs)
+    finite = np.isfinite(alphas) & np.isfinite(betas)
+    if not finite.all():
+        m = max(int(np.flatnonzero(~finite)[0]), 1)
+        alphas, betas = alphas[:m], betas[:m]
     # truncate at the first (near-)breakdown — T beyond it is meaningless
     scale = max(np.abs(alphas).max(), 1.0)
     small = np.flatnonzero(betas < 1e-12 * scale)

@@ -141,9 +141,12 @@ def main():
             jnp.asarray(RTOL, hi_dtype), jnp.float32(1e-4), 20, 60)
     out = _ir_device(*args)
     jax.block_until_ready(out)          # warm this exact executable
+    from amg_ann_tpu.utils.profiling import trace_if
+
     t0 = time.perf_counter()
-    outs = [_ir_device(*args) for _ in range(K)]
-    jax.block_until_ready(outs[-1])
+    with trace_if(os.environ.get("BENCH_PROFILE")):
+        outs = [_ir_device(*args) for _ in range(K)]
+        jax.block_until_ready(outs[-1])
     t_solve = (time.perf_counter() - t0) / K
 
     p_nnz = sum(p.nnz for p in h.p_mats)
