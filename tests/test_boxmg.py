@@ -441,3 +441,50 @@ class TestDIATransfers:
         assert abs(got.niters - ref.niters) <= 1, (got.niters, ref.niters)
         np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestCoarseLevelKernelGeometry:
+    """Stage-A shapes: with PALLAS_MIN_ROWS=2048 the 27-offset GALERKIN
+    levels (halo 3 at 16³, halo 9 at 32³) run the fused kernels — pin the
+    sweep window contract at exactly those geometries in interpret mode."""
+
+    def _sweep_check(self, a_csr, rng, steps=3):
+        import jax.numpy as jnp
+
+        from amg_ann_tpu.sparse.dia import dia_spmv, from_csr_dia
+        from amg_ann_tpu.sparse.pallas_spmv import (dia_cheb_sweep_pallas,
+                                                    halo_rows)
+
+        dm = from_csr_dia(a_csr, dtype=np.float32)
+        n = a_csr.nrows
+        x, r, d, s = (rng.standard_normal(n).astype(np.float32)
+                      for _ in range(4))
+        coefs = np.array([[0.3, 0.7], [0.5, 0.2], [0.0, 0.0]],
+                         dtype=np.float32)[:steps]
+        xe, re, de = x.copy(), r.copy(), d.copy()
+        for ca, cb in coefs:
+            t = np.asarray(dia_spmv(dm, de))
+            xe, re = xe + de, re - t
+            de = ca * de + cb * (s * re)
+        rr = dm.data.shape[1]
+        h = halo_rows(dm.offsets)
+        assert 8 + 2 * steps * h <= rr, (rr, h)   # the dispatch gate
+        rc = rr * 128
+        pad = lambda v: np.pad(v, (0, rc - n)).reshape(rr, 128)
+        xo, ro, do = dia_cheb_sweep_pallas(
+            dm.data, jnp.asarray(pad(x)), jnp.asarray(pad(r)),
+            jnp.asarray(pad(d)), jnp.asarray(pad(s)),
+            jnp.asarray(coefs), dm.offsets, steps, interpret=True)
+        for got, exp in ((xo, xe), (ro, re), (do, de)):
+            np.testing.assert_allclose(np.asarray(got).reshape(-1)[:n],
+                                       exp, rtol=3e-4, atol=3e-4)
+
+    def test_27pt_16cubed(self, rng):
+        # L2 geometry at a 64³ solve: R=32 rows, halo 3
+        self._sweep_check(anisotropic_27pt(16), rng)
+
+    def test_27pt_15cubed_galerkin_like(self, rng):
+        # odd-size coarse grid (semicoarsened chains produce these);
+        # 15³ = 3375 is the smallest odd 27-pt size above the 2048-dof
+        # Pallas floor whose sweep window still fits (R=32, halo 3)
+        self._sweep_check(anisotropic_27pt(15), rng)
