@@ -41,6 +41,7 @@ def main():
                          "the hexbin proxy panel")
     ap.add_argument("--raw", default=None,
                     help="raw times stats.csv for t(θ) curve examples")
+    ap.add_argument("--no-feature-maps", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +105,37 @@ def main():
                                      max_groups=6)
             made += sorted(os.path.basename(p) for p in
                            glob.glob(os.path.join(figdir, "smoothed_*")))
+
+    if not args.no_feature_maps:
+        # cnn_filter_visualization parity: activation grids per conv layer
+        # + pooled-view gallery over a few processed problems
+        from amg_ann_tpu.ann.checkpoint import load_model
+        from amg_ann_tpu.ann.driver import (df_to_model_input,
+                                            find_metadata, load_data)
+        from amg_ann_tpu.pipeline.analysis import feature_maps
+
+        row = find_metadata(models, model_id)
+        model, params_m, _ = load_model(mdir)
+        test_dir = os.path.join("data", "processed", SHORT[args.app],
+                                "test")
+        if os.path.isdir(test_dir):
+            df = load_data(test_dir, view_size=int(row["view_size"]),
+                           join_on=row["join_on"].split(";"),
+                           norm_mode=row["norm_mode"],
+                           view_type=row["view_type"])
+            df = df.drop_duplicates(subset="setting").head(8) \
+                if "setting" in df.columns else df.head(8)
+            view, pvec, _ = df_to_model_input(
+                df, row["inputs"].split(";"), row["tgt"])
+            maps = feature_maps(model, params_m, view[:1], pvec[:1])
+            plots.plot_feature_maps(maps, save_dir=figdir)
+            plots.plot_view_gallery(
+                [np.asarray(v)[:, :, 0] for v in view],
+                save_path=os.path.join(figdir, "view_gallery.png"),
+                log_scale=False)
+            made += sorted(os.path.basename(p) for p in
+                           glob.glob(os.path.join(figdir, "fmap_*")))
+            made.append("view_gallery.png")
 
     if args.amg_info:
         info = pd.read_csv(args.amg_info)
