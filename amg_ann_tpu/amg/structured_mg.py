@@ -263,14 +263,44 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
                                 for s, st in zip(shapes[-1], strides)))
         return stencils, weights, stride_list, slot_list, shapes, coup_devs
 
+    def build_levels(stencils, weights, stride_list, slot_list, shapes):
+        levels, nnz_dev = [], []
+        for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
+            inv_diag, inv_l1, lam = level_stats_dev(s_l)
+            if int(np.prod(shape)) <= 100_000:
+                # small (coarse Galerkin) levels: Gershgorin is loose
+                # there — power-iterate on device (host-path policy)
+                lam = lam_power_dev(s_l, inv_diag)
+            data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
+            has_next = l < len(stencils) - 1
+            p_dia = r_dia = None
+            if has_next and _want_transfer_dia(shape):
+                p_dia, r_dia = transfer_dia(weights[l], shape,
+                                            stride_list[l])
+            levels.append(StructuredLevel(
+                a=DIA(data=data, offsets=offs, n=int(np.prod(shape)),
+                      nnz=0),
+                inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
+                shape=shape,
+                p_w=weights[l] if has_next else None,
+                strides=stride_list[l] if has_next else (2, 2, 2),
+                p_dia=p_dia, r_dia=r_dia,
+            ))
+            nnz_dev.append(nnz_count_dev(s_l))
+        coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])
+        return levels, nnz_dev, jnp.linalg.inv(coarse)
+
     # pass 1 — SPECULATIVE full coarsening: no host sync inside the loop
-    # (every round trip through the tunnel costs ~50 ms); couplings are
-    # collected on device and fetched ONCE afterwards for verification
+    # (every round trip through the tunnel costs ~50 ms). Levels and nnz
+    # stats are ALSO built speculatively so couplings + stats cost ONE
+    # combined fetch on the common (isotropic) path.
     full = lambda lv, shape, _c: tuple(2 if n >= 2 else 1 for n in shape)
     (stencils, weights, stride_list, slot_list, shapes,
      coup_devs) = build_chain([s0_dev], [], [], [tuple(a_slots)],
                               [tuple(grid_shape)], full)
-    coups = _jax.device_get(coup_devs)
+    levels, nnz_dev, coarse_inv = build_levels(
+        stencils, weights, stride_list, slot_list, shapes)
+    coups, nnz_host = _jax.device_get((coup_devs, nnz_dev))
     bad = None
     for l, (c, sh) in enumerate(zip(coups, shapes)):
         want = strides_from_couplings(c, theta, sh)
@@ -279,40 +309,18 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             break
     if bad is not None:
         # anisotropic: rebuild from the first diverging level with the
-        # honest per-level decision (pays one fetch per remaining level)
+        # honest per-level decision (pays one fetch per remaining level,
+        # and the speculative level work is discarded)
         per_level = lambda lv, shape, c_dev: strides_from_couplings(
             np.asarray(c_dev), theta, shape)
         (stencils, weights, stride_list, slot_list, shapes,
          _) = build_chain(stencils[:bad + 1], weights[:bad],
                           stride_list[:bad], slot_list[:bad + 1],
                           shapes[:bad + 1], per_level)
-
-    levels = []
-    nnz_dev = []
-    for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
-        inv_diag, inv_l1, lam = level_stats_dev(s_l)
-        if int(np.prod(shape)) <= 100_000:
-            # small (coarse Galerkin) levels: Gershgorin is loose there —
-            # power-iterate on device (host-path policy)
-            lam = lam_power_dev(s_l, inv_diag)
-        data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
-        has_next = l < len(stencils) - 1
-        p_dia = r_dia = None
-        if has_next and _want_transfer_dia(shape):
-            p_dia, r_dia = transfer_dia(weights[l], shape, stride_list[l])
-        levels.append(StructuredLevel(
-            a=DIA(data=data, offsets=offs, n=int(np.prod(shape)), nnz=0),
-            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
-            shape=shape,
-            p_w=weights[l] if has_next else None,
-            strides=stride_list[l] if has_next else (2, 2, 2),
-            p_dia=p_dia, r_dia=r_dia,
-        ))
-        nnz_dev.append(nnz_count_dev(s_l))
-    coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])
-    coarse_inv = jnp.linalg.inv(coarse)
-    # one host sync for the stats scalars (and to time the setup honestly)
-    nnz = [int(v) for v in _jax.device_get(nnz_dev)]
+        levels, nnz_dev, coarse_inv = build_levels(
+            stencils, weights, stride_list, slot_list, shapes)
+        nnz_host = _jax.device_get(nnz_dev)
+    nnz = [int(v) for v in nnz_host]
     p_nnz_est = sum(int(np.prod(w.shape)) for w in weights)  # upper bound
     rows = [int(np.prod(sh)) for sh in shapes]
     stats = HierarchyStats(

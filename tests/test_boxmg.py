@@ -488,3 +488,20 @@ class TestCoarseLevelKernelGeometry:
         # 15³ = 3375 is the smallest odd 27-pt size above the 2048-dof
         # Pallas floor whose sweep window still fits (R=32, halo 3)
         self._sweep_check(anisotropic_27pt(15), rng)
+
+    def test_device_setup_anisotropic_rebuild(self):
+        """θ-driven semicoarsening makes the speculative full-coarsening
+        pass WRONG — the device setup must detect it from the fetched
+        couplings and rebuild with per-level decisions (host parity)."""
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+
+        a = anisotropic_27pt(12)
+        params = AMGParams(smoother="chebyshev", strong_threshold=0.9)
+        hh = setup_structured(a, (12, 12, 12), params, device_setup=False)
+        hd = setup_structured(a, (12, 12, 12), params, device_setup=True)
+        assert 1 in [st for s in hh.strides for st in s], hh.strides
+        assert hh.strides == hd.strides
+        assert hh.stats.nnz == hd.stats.nnz
+        for sh, sd in zip(hh.stencils, hd.stencils):
+            scale = max(np.abs(sh).max(), 1e-30)
+            assert np.abs(np.asarray(sd) - sh).max() < 1e-10 * scale
