@@ -30,6 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/raw/tc1-ref/amg-info/stats.csv")
     ap.add_argument("--seeds", type=int, default=6)
+    ap.add_argument("--extended", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +40,7 @@ def main():
     from amg_ann_tpu.amg.hierarchy import AMGParams, setup
     from amg_ann_tpu.pipeline.datagen import _build_tc1
 
-    cfgs = make_configs(args.seeds)
+    cfgs = make_configs(args.seeds, extended=args.extended)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     done = set()
     if os.path.exists(args.out):
