@@ -15,7 +15,10 @@ Two representations, guaranteed identical (tested):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..sparse.csr import CSR
@@ -207,6 +210,7 @@ def _shift_flat(v, o: int):
     return v
 
 
+@functools.partial(jax.jit, static_argnames=("fine_shape", "strides"))
 def transfer_dia(w, fine_shape, strides=(2, 2, 2)):
     """(p_dia, r_dia) DIA operands equivalent to prolongate_w/restrict_w.
 
@@ -214,6 +218,11 @@ def transfer_dia(w, fine_shape, strides=(2, 2, 2)):
     act on FINE-length vectors; collisions of distinct directions on one
     flat offset (tiny axes) are summed — at most one of them is in-grid
     at any point (3-D↔flat bijection), so the sum is exact.
+
+    Jitted (shape/strides static): the band construction is ~100 small
+    array ops per level — eager dispatch would pay per-op device latency
+    at setup time; one compiled call per (shape, strides) amortizes
+    across a whole θ-sweep.
     """
     from ..sparse.dia import DIA, padded_rows
 
