@@ -8,6 +8,8 @@ runs (identical math).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -31,7 +33,9 @@ def _on_tpu() -> bool:
 # distinct (K, R) shape still costs one remote-tunnel compile (minutes,
 # then .jax_cache-cached) — keep level shapes canonical (sparse/dia.
 # padded_rows) so a whole sweep reuses a handful of shapes.
-PALLAS_MIN_ROWS = 2048
+# AMG_PALLAS_MIN_ROWS overrides without a code edit (fallback lever if a
+# small-shape kernel ever fails Mosaic compile on new hardware).
+PALLAS_MIN_ROWS = int(os.environ.get("AMG_PALLAS_MIN_ROWS", "2048"))
 
 
 def _use_pallas(op) -> bool:
