@@ -52,6 +52,16 @@ def make_configs(n_seeds: int = 3, extended: bool = False):
                     ))
         if extended:
             ref, nsx = refs[0], min(n_seeds, 3)
+            for seed in range(min(n_seeds, 2)):   # degree-3 parity slice
+                cfgs.append(SweepConfig(
+                    app=APP_TC1,
+                    problem=dict(mesh=mesh, refinements=ref, degree=3,
+                                 seed=seed, max_diffusion=6.0,
+                                 renumbering="cuthill_mckee"),
+                    tol=1e-6, rtol_mode=True, smoother="chebyshev",
+                    strong_threshold=(0.05, 0.96, 0.05), cycles=1,
+                    setting_name=f"tc1ref-{mesh}-r{ref}-d3-s{seed}",
+                ))
             for md in (1.0, 3.0, 10.0):
                 for seed in range(nsx):
                     cfgs.append(SweepConfig(
