@@ -103,6 +103,32 @@ class StructuredHierarchy:
     levels: tuple
     coarse_inv: jax.Array
     params: AMGParams = struct.field(pytree_node=False)
+    # fused coarse-tail plan (sparse/pallas_cycle.py): the whole
+    # sub-V-cycle below level fused_tail.l0 runs as ONE Pallas launch on
+    # TPU; None when the tail doesn't qualify (W-cycle, odd shapes whose
+    # transfer maps don't decompose, non-f32, block levels)
+    fused_tail: object = None
+
+
+def _maybe_fused_tail(levels, coarse_inv, params):
+    """Build the fused-tail plan when the backend will use it.
+
+    Gate: AMG_FUSED_TAIL env — "auto" (default: TPU backends only),
+    "1"/"force" (always build — tests exercise the kernel in interpret
+    mode on CPU), "0" (never)."""
+    import os
+
+    mode = os.environ.get("AMG_FUSED_TAIL", "auto")
+    if mode in ("0", "never"):
+        return None
+    if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from ..sparse.pallas_cycle import build_fused_tail
+
+    try:
+        return build_fused_tail(levels, coarse_inv, params)
+    except Exception:
+        return None
 
 
 @dataclasses.dataclass
@@ -204,10 +230,12 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
             p_dia=p_dia, r_dia=r_dia,
         ))
     coarse_inv = _dense_inverse(stencil_to_csr(stencils[-1]))
+    coarse_inv_dev = jnp.asarray(coarse_inv.astype(dtype))
     device = StructuredHierarchy(
         levels=tuple(levels),
-        coarse_inv=jnp.asarray(coarse_inv.astype(dtype)),
+        coarse_inv=coarse_inv_dev,
         params=params.solve_view(),
+        fused_tail=_maybe_fused_tail(levels, coarse_inv_dev, params),
     )
     stats.t_setup = time.perf_counter() - t0
     return StructuredSetupResult(device, stats, params, stencils=stencils,
@@ -330,8 +358,10 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
         operator_complexity=sum(nnz) / max(nnz[0], 1),
         memory_complexity=(sum(nnz) + p_nnz_est) / max(nnz[0], 1),
     )
-    device = StructuredHierarchy(levels=tuple(levels),
-                                 coarse_inv=coarse_inv, params=params.solve_view())
+    device = StructuredHierarchy(
+        levels=tuple(levels), coarse_inv=coarse_inv,
+        params=params.solve_view(),
+        fused_tail=_maybe_fused_tail(levels, coarse_inv, params))
     stats.t_setup = time.perf_counter() - t0
     return StructuredSetupResult(device, stats, params,
                                  stencils=stencils, weights=weights,

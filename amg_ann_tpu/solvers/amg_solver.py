@@ -75,6 +75,13 @@ def _apply_solve_params(hierarchy, params: AMGParams):
             old.n_post_smooth, old.cheb_degree):
         return hierarchy
     new_device = hierarchy.device.replace(params=params.solve_view())
+    if getattr(new_device, "fused_tail", None) is not None:
+        # the fused-tail plan bakes in smoother coefficients and sweep
+        # counts — rebuild it for the new solve params
+        from ..amg.structured_mg import _maybe_fused_tail
+
+        new_device = new_device.replace(fused_tail=_maybe_fused_tail(
+            new_device.levels, new_device.coarse_inv, params))
     return dataclasses.replace(hierarchy, device=new_device, params=params)
 
 

@@ -30,6 +30,22 @@ from .smoothers import smooth_rx
 # (tests exercise the jnp DIA path on CPU with "always").
 TRANSFER_DIA_MODE = "auto"
 
+# Fused coarse-tail dispatch (sparse/pallas_cycle.py): "auto" = engage on
+# TPU when the hierarchy carries a plan; "never" disables; "interpret"
+# runs the kernel in Pallas interpret mode (CPU tests).
+FUSED_TAIL_MODE = "auto"
+
+
+def _use_fused_tail(h, l) -> bool:
+    ft = getattr(h, "fused_tail", None)
+    if ft is None or l != ft.l0 or FUSED_TAIL_MODE == "never":
+        return False
+    if FUSED_TAIL_MODE == "interpret":
+        return True
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
 
 def _dia_transfers(lev) -> bool:
     if TRANSFER_DIA_MODE == "never" or lev.p_dia is None:
@@ -45,6 +61,11 @@ def vcycle(h, b):
 def _cycle(h, l, b):
     params = h.params
     lev = h.levels[l]
+    if _use_fused_tail(h, l) and b.dtype == jnp.float32:
+        from ..sparse.pallas_cycle import tail_cycle
+
+        return tail_cycle(h.fused_tail, b,
+                          interpret=(FUSED_TAIL_MODE == "interpret"))
     if l == len(h.levels) - 1:
         # coarsest: dense solve via precomputed inverse — a small matmul
         # that lands on the MXU.

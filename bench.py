@@ -120,8 +120,21 @@ def main():
     t_setup = time.perf_counter() - t0            # warm marginal
 
     # warm-up with IDENTICAL static args (max_outer/inner_maxiter are jit
-    # statics — different values would recompile inside the timed call)
-    res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
+    # statics — different values would recompile inside the timed call).
+    # The fused coarse-tail kernel (sparse/pallas_cycle.py) engages
+    # automatically on TPU; if Mosaic rejects it on this chip, fall back
+    # to the per-op tail rather than failing the whole bench.
+    try:
+        res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
+    except Exception as e:
+        if getattr(h.device, "fused_tail", None) is None:
+            raise
+        print(f"fused tail failed ({type(e).__name__}); retrying unfused",
+              file=sys.stderr)
+        from amg_ann_tpu.solvers import cycle as _cycle_mod
+
+        _cycle_mod.FUSED_TAIL_MODE = "never"
+        res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
 
     # sustained timing: K identical back-to-back device solves dispatched
     # asynchronously, ONE sync at the end — the axon tunnel costs
