@@ -21,18 +21,29 @@ for 75×75×4 inputs and a ~2k-sample dataset):
     architecture-family parity (not weight compatibility) is the
     contract.
 
-Remaining Keras names (densenet121, efficientnet*, nasnetmobile,
-inceptionv3) raise with a pointer here — a documented drop (VERDICT r1
-item 9): they duplicate the covered families' roles in the reference's
-hyperparameter search and none is part of a shipped configuration.
+Beyond those three, the remaining reference names resolve to three more
+genuinely distinct families implemented below: dense connectivity
+(densenet121 → DenseNet), multi-branch factorized convolutions
+(inceptionv3 → Inception), and squeeze-excitation MBConv
+(efficientnetb0/v2b0 and mobilenetv3small/large → EfficientNet, the v3
+variants with hard-swish — MobileNetV3 IS the SE-MBConv family plus
+hard-swish). Only nasnetmobile stays a documented drop (VERDICT r1
+item 9): its architecture is a NAS-discovered cell soup with no family
+identity worth reproducing for 75×75 inputs, and it is not part of any
+shipped configuration.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 KERNEL_INIT = nn.initializers.he_uniform()
+
+
+def _act_fn(name):
+    return getattr(nn, name, None) or getattr(jax.nn, name)
 
 
 def _gn(x, groups=8):
@@ -139,22 +150,152 @@ class ResNetV2(nn.Module):
         return jnp.mean(act(_gn(x)), axis=(1, 2), keepdims=True)
 
 
+class DenseNet(nn.Module):
+    """Dense-connectivity blocks + compression transitions (densenet121,
+    cnn_models.py:112-121): each layer's input is the concat of every
+    earlier feature map in its block."""
+
+    growth: int = 12
+    layers_per_block: int = 4
+    blocks: int = 3
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = _act_fn(self.act)
+        x = nn.Conv(2 * self.growth, (5, 5), strides=(2, 2), padding="SAME",
+                    kernel_init=KERNEL_INIT, dtype=self.dtype)(x)
+        for b in range(self.blocks):
+            for _ in range(self.layers_per_block):
+                # BN-act-1×1 (4k bottleneck) → BN-act-3×3 (k), concat
+                h = act(_gn(x))
+                h = nn.Conv(4 * self.growth, (1, 1),
+                            kernel_init=KERNEL_INIT, dtype=self.dtype)(h)
+                h = act(_gn(h))
+                h = nn.Conv(self.growth, (3, 3), padding="SAME",
+                            kernel_init=KERNEL_INIT, dtype=self.dtype)(h)
+                x = jnp.concatenate([x, h], axis=-1)
+            if b < self.blocks - 1:
+                # transition: 1×1 halving channels + 2×2 average pool
+                x = act(_gn(x))
+                x = nn.Conv(x.shape[-1] // 2, (1, 1),
+                            kernel_init=KERNEL_INIT, dtype=self.dtype)(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return jnp.mean(act(_gn(x)), axis=(1, 2), keepdims=True)
+
+
+class Inception(nn.Module):
+    """Multi-branch modules — 1×1 / 3×3 / double-3×3 (factorized 5×5) /
+    pool-proj, concatenated (inceptionv3, cnn_models.py:156-165)."""
+
+    width: int = 16
+    modules_per_stage: int = 1
+    stages: int = 3
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = _act_fn(self.act)
+
+        def conv(h, c, k, strides=(1, 1)):
+            h = nn.Conv(c, k, strides=strides, padding="SAME",
+                        kernel_init=KERNEL_INIT, dtype=self.dtype)(h)
+            return act(_gn(h))
+
+        x = conv(x, 2 * self.width, (3, 3), strides=(2, 2))
+        for s in range(self.stages):
+            w = self.width * (2 ** s)
+            for _ in range(self.modules_per_stage):
+                b1 = conv(x, w, (1, 1))
+                b3 = conv(conv(x, w // 2, (1, 1)), w, (3, 3))
+                b5 = conv(conv(conv(x, w // 2, (1, 1)), w, (3, 3)),
+                          w, (3, 3))
+                bp = conv(nn.avg_pool(x, (3, 3), strides=(1, 1),
+                                      padding="SAME"), w // 2, (1, 1))
+                x = jnp.concatenate([b1, b3, b5, bp], axis=-1)
+            if s < self.stages - 1:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+class EfficientNet(nn.Module):
+    """Squeeze-excitation MBConv stack (efficientnetb0/v2b0,
+    cnn_models.py:123-132; mobilenetv3 is this family + hard-swish,
+    cnn_models.py:84-110). `fused_stem` = EfficientNetV2's fused-MBConv
+    (plain 3×3 expand) in the early blocks."""
+
+    alpha: float = 0.5
+    expand: int = 4
+    se_ratio: float = 0.25
+    fused_stem: bool = False
+    act: str = "swish"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = _act_fn(self.act)
+        w = lambda c: max(8, int(c * self.alpha))
+
+        def se(h):
+            c = h.shape[-1]
+            s = jnp.mean(h, axis=(1, 2), keepdims=True)
+            s = act(nn.Conv(max(1, int(c * self.se_ratio)), (1, 1),
+                            kernel_init=KERNEL_INIT, dtype=self.dtype)(s))
+            s = nn.sigmoid(nn.Conv(c, (1, 1), kernel_init=KERNEL_INIT,
+                                   dtype=self.dtype)(s))
+            return h * s
+
+        x = nn.Conv(w(32), (3, 3), strides=(2, 2), padding="SAME",
+                    kernel_init=KERNEL_INIT, dtype=self.dtype)(x)
+        x = act(_gn(x))
+        for i, (cout, stride) in enumerate(
+                ((16, 1), (24, 2), (40, 2), (80, 2), (112, 1))):
+            cin = x.shape[-1]
+            cmid = cin * self.expand
+            if self.fused_stem and i < 2:
+                h = nn.Conv(cmid, (3, 3), strides=(stride, stride),
+                            padding="SAME", kernel_init=KERNEL_INIT,
+                            dtype=self.dtype)(x)
+                h = act(_gn(h))
+            else:
+                h = nn.Conv(cmid, (1, 1), kernel_init=KERNEL_INIT,
+                            dtype=self.dtype)(x)
+                h = act(_gn(h))
+                h = nn.Conv(cmid, (3, 3), strides=(stride, stride),
+                            padding="SAME", feature_group_count=cmid,
+                            kernel_init=KERNEL_INIT, dtype=self.dtype)(h)
+                h = act(_gn(h))
+                h = se(h)
+            h = nn.Conv(w(cout), (1, 1), kernel_init=KERNEL_INIT,
+                        dtype=self.dtype)(h)
+            h = _gn(h)
+            if stride == 1 and h.shape[-1] == x.shape[-1]:
+                h = h + x
+            x = h
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
 #: cnn_type → backbone constructor (reference CNN_MODEL_TABLE analog,
-#: cnn_models.py:174-186). Values are callables (model_kwargs) → nn.Module.
+#: cnn_models.py:174-186). Values are callables (act, dtype) → nn.Module.
 BACKBONE_TABLE = {
     "mobilenet": lambda act, dtype: MobileNetV1(act=act, dtype=dtype),
     "mobilenetv2": lambda act, dtype: MobileNetV2(dtype=dtype),
+    "mobilenetv3small": lambda act, dtype: EfficientNet(
+        alpha=0.35, act="hard_swish", dtype=dtype),
+    "mobilenetv3large": lambda act, dtype: EfficientNet(
+        alpha=0.75, act="hard_swish", dtype=dtype),
     "resnet50v2": lambda act, dtype: ResNetV2(act=act, dtype=dtype),
+    "densenet121": lambda act, dtype: DenseNet(act=act, dtype=dtype),
+    "inceptionv3": lambda act, dtype: Inception(act=act, dtype=dtype),
+    "efficientnetb0": lambda act, dtype: EfficientNet(dtype=dtype),
+    "efficientnetv2b0": lambda act, dtype: EfficientNet(
+        fused_stem=True, dtype=dtype),
 }
 
 #: reference names covered by an equivalent family above — a documented
 #: drop, not an accident (see module docstring)
 DROPPED_BACKBONES = {
-    "mobilenetv3small": "mobilenetv2",
-    "mobilenetv3large": "mobilenetv2",
-    "densenet121": "resnet50v2",
-    "efficientnetb0": "mobilenetv2",
-    "efficientnetv2b0": "mobilenetv2",
     "nasnetmobile": "mobilenetv2",
-    "inceptionv3": "resnet50v2",
 }

@@ -156,7 +156,9 @@ class TestBackbones:
     """Alternative CNN backbones (reference CNN_MODEL_TABLE analog)."""
 
     @pytest.mark.parametrize("cnn", ["mobilenet", "mobilenetv2",
-                                     "resnet50v2"])
+                                     "mobilenetv3small", "resnet50v2",
+                                     "densenet121", "inceptionv3",
+                                     "efficientnetb0", "efficientnetv2b0"])
     def test_forward_and_grad(self, cnn):
         import jax
         import optax
@@ -185,7 +187,7 @@ class TestBackbones:
         import jax
         from amg_ann_tpu.ann.models import ThetaCostModel
 
-        model = ThetaCostModel(nparams=3, cnn_type="densenet121")
-        with pytest.raises(NotImplementedError, match="resnet50v2"):
+        model = ThetaCostModel(nparams=3, cnn_type="nasnetmobile")
+        with pytest.raises(NotImplementedError, match="mobilenetv2"):
             model.init(jax.random.PRNGKey(0),
                        jnp.ones((1, 16, 16, 4)), jnp.ones((1, 3)))
