@@ -94,6 +94,17 @@ def _jit_solve(device_h, a_op, b, x0, tol, rtol, maxiter):
     return pcg(matvec, precond, b, x0, tol=tol, rtol=rtol, maxiter=maxiter)
 
 
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _jit_solve_batched(device_h, a_op, b, x0, tol, rtol, maxiter):
+    from .krylov import pcg_batched
+    from .ops import op_matvec
+
+    matvec = jax.vmap(lambda v: op_matvec(a_op, v))
+    precond = jax.vmap(lambda r: vcycle(device_h, r))
+    return pcg_batched(matvec, precond, b, x0, tol=tol, rtol=rtol,
+                       maxiter=maxiter)
+
+
 def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
               rtol: float = 0.0, x0=None, maxiter: int | None = None,
               hierarchy=None, grid_shape=None, **kw) -> SolveResult:
@@ -162,3 +173,83 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
         t_solve=t_solve,
         hierarchy=hierarchy,
     )
+
+
+def amg_solve_batched(a: CSR, bs, params: AMGParams | None = None, *,
+                      tol: float = 1e-8, rtol: float = 0.0, x0=None,
+                      maxiter: int | None = None, hierarchy=None,
+                      grid_shape=None, **kw) -> list[SolveResult]:
+    """Solve A xᵢ = bᵢ for a batch of right-hand sides with ONE hierarchy
+    and ONE fused device loop (krylov.pcg_batched).
+
+    bs: (B, n). Returns a list of B SolveResults whose x/niters/p_res
+    match per-RHS `amg_solve` calls lane for lane (frozen-lane batching —
+    no extra iterations leak into a converged lane's state). The reported
+    t_solve is the whole batch's wall time; t_amg_setup is paid once.
+
+    This is the serving/time-stepping entry: the small-grid TPU solve is
+    op-latency bound, so B solves in one loop cost roughly one solve's
+    dispatch overhead. The reference solves strictly one RHS per process
+    (common/amg_solver.h:22-92); batching is TPU-native surface area.
+    """
+    if params is None:
+        params = AMGParams(**kw)
+    n = a.nrows
+    bs_np = np.asarray(bs)
+    if bs_np.ndim != 2:
+        raise ValueError(f"bs must be (B, n), got {bs_np.shape}")
+    if maxiter is None:
+        maxiter = int(min(n, 10 * np.sqrt(n) + 100))
+
+    t0 = time.perf_counter()
+    if hierarchy is None:
+        if grid_shape is not None:
+            from ..amg.structured_mg import setup_structured
+
+            hierarchy = setup_structured(a, grid_shape, params)
+        else:
+            hierarchy = setup(a, params)
+    else:
+        hierarchy = _apply_solve_params(hierarchy, params)
+    t_setup = (time.perf_counter() - t0) * 1e6
+
+    from ..sparse.ell import ELL
+
+    a_ell = hierarchy.device.levels[0].a
+    dtype = a_ell.data.dtype
+    n_dev = a_ell.data.shape[0] if isinstance(a_ell, ELL) else n
+    if bs_np.shape[1] != n_dev:
+        bs_np = np.concatenate(
+            [bs_np, np.zeros((bs_np.shape[0], n_dev - bs_np.shape[1]))],
+            axis=1)
+    b_dev = jnp.asarray(bs_np, dtype=dtype)
+    if x0 is None:
+        x0_dev = jnp.zeros_like(b_dev)
+    else:
+        x0_np = np.asarray(x0)
+        if x0_np.shape[1] != n_dev:
+            x0_np = np.concatenate(
+                [x0_np, np.zeros((x0_np.shape[0], n_dev - x0_np.shape[1]))],
+                axis=1)
+        x0_dev = jnp.asarray(x0_np, dtype=dtype)
+
+    t0 = time.perf_counter()
+    res = _jit_solve_batched(hierarchy.device, a_ell, b_dev, x0_dev,
+                             jnp.asarray(tol, dtype=dtype),
+                             jnp.asarray(rtol, dtype=dtype), maxiter)
+    res.x.block_until_ready()
+    t_solve = (time.perf_counter() - t0) * 1e6
+
+    x_h = np.asarray(res.x)
+    niters_h = np.asarray(res.niters)
+    hist_h = np.asarray(res.history)
+    conv_h = np.asarray(res.converged)
+    return [
+        SolveResult(
+            x=x_h[i, :n], niters=int(niters_h[i]),
+            p_res=hist_h[i, : int(niters_h[i]) + 1],
+            converged=bool(conv_h[i]), t_amg_setup=t_setup,
+            t_solve=t_solve, hierarchy=hierarchy,
+        )
+        for i in range(x_h.shape[0])
+    ]

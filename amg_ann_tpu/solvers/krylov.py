@@ -84,3 +84,81 @@ def cg(matvec, b, x0, *, tol=0.0, rtol=0.0, maxiter=100):
     """Unpreconditioned CG (precond = identity)."""
     return pcg(matvec, lambda r: r, b, x0, tol=tol, rtol=rtol,
                maxiter=maxiter)
+
+
+class BatchedPCGResult(NamedTuple):
+    x: jax.Array           # (B, n)
+    niters: jax.Array      # (B,) int32
+    history: jax.Array     # (B, maxiter+1)
+    converged: jax.Array   # (B,) bool
+
+
+def pcg_batched(matvec: Callable, precond: Callable, b, x0, *, tol=0.0,
+                rtol=0.0, maxiter: int = 100,
+                dot: Callable | None = None) -> BatchedPCGResult:
+    """Solve A xᵢ = bᵢ for a batch of right-hand sides in ONE fused loop.
+
+    b, x0: (B, n). matvec/precond must accept (B, n) batches (lane-wise
+    linear operators — e.g. jax.vmap of the single-vector ops).
+
+    Per-lane semantics are IDENTICAL to `pcg`: a lane's state freezes the
+    moment its preconditioned norm drops below its threshold (its α/β are
+    forced to 0 and its z/p/norm held), so x/niters/history match a
+    lane-by-lane run; the loop exits when every lane is done. The batch
+    amortizes the per-op launch latency the small-grid TPU solve is bound
+    by — B solves cost ~1 solve's worth of op dispatches.
+
+    tol/rtol may be scalars (shared) or (B,) arrays (per-lane targets —
+    a θ-sweep batch passes per-lane thresholds).
+    """
+    if dot is None:
+        dot = lambda u, v: jnp.sum(u * v, axis=-1)
+    nrm = lambda v: jnp.sqrt(dot(v, v))
+    dtype = b.dtype
+    nb = b.shape[0]
+    r = b - matvec(x0)
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+    norm0 = nrm(z)
+    threshold = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(tol, dtype), (nb,)),
+        jnp.asarray(rtol, dtype) * norm0)
+
+    hist = jnp.full((nb, maxiter + 1), jnp.nan, dtype=dtype)
+    hist = hist.at[:, 0].set(norm0)
+    lanes = jnp.arange(nb)
+
+    def active(k, norm):
+        return (norm >= threshold) & (k < maxiter)
+
+    def cond(state):
+        _, _, _, _, _, k, _, norm = state
+        return jnp.any(active(k, norm))
+
+    def body(state):
+        x, r, z, p, rz, k, hist, norm = state
+        act = active(k, norm)
+        actc = act[:, None]
+        ap = matvec(p)
+        # frozen lanes: α = β = 0 ⇒ x/r/p unchanged; guard the divisors so
+        # a frozen lane's (possibly tiny) rz can't produce inf/NaN
+        alpha = jnp.where(act, rz / jnp.where(act, dot(p, ap), 1.0), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * ap
+        z = jnp.where(actc, precond(r), z)
+        rz_new = jnp.where(act, dot(r, z), rz)
+        beta = jnp.where(act, rz_new / jnp.where(act, rz, 1.0), 0.0)
+        p = jnp.where(actc, z + beta[:, None] * p, p)
+        norm = jnp.where(act, nrm(z), norm)
+        slot = jnp.minimum(k + 1, maxiter)
+        hist = hist.at[lanes, slot].set(
+            jnp.where(act, norm, hist[lanes, slot]))
+        return x, r, z, p, rz_new, k + act.astype(k.dtype), hist, norm
+
+    k0 = jnp.zeros(nb, jnp.int32)
+    x, r, z, p, rz, k, hist, norm = jax.lax.while_loop(
+        cond, body, (x0, r, z, p, rz, k0, hist, norm0)
+    )
+    return BatchedPCGResult(x=x, niters=k, history=hist,
+                            converged=norm < threshold)
