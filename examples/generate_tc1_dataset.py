@@ -51,7 +51,9 @@ def make_configs(n_seeds: int = 3, extended: bool = False):
                         setting_name=f"tc1ref-{mesh}-r{ref}-d{deg}-s{seed}",
                     ))
         if extended:
-            ref, nsx = refs[0], min(n_seeds, 3)
+            # extended axes follow n_seeds (degree-3 stays a thin parity
+            # slice: P3 assembly is the slowest per problem)
+            ref, nsx = refs[0], n_seeds
             for seed in range(min(n_seeds, 2)):   # degree-3 parity slice
                 cfgs.append(SweepConfig(
                     app=APP_TC1,
