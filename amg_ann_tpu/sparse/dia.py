@@ -128,6 +128,7 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     x of length n; returns length n. Pads x with the halo rows the kernel
     contract requires (zeros — exact, see pallas_spmv docstring).
     """
+    from . import pallas_spmv as _ps
     from .pallas_spmv import (
         LANES, dia_spmv_pallas, dia_spmv_pallas_nopad, halo_rows,
     )
@@ -140,7 +141,8 @@ def dia_spmv_fast(a: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     h = halo_rows(a.offsets)
     if not interpret and 3 * h <= r:
         # fast path: no host-side halo pad — boundary handling in-kernel
-        y = dia_spmv_pallas_nopad(a.data, x.reshape(r, LANES), a.offsets)
+        y = dia_spmv_pallas_nopad(a.data, x.reshape(r, LANES), a.offsets,
+                                  db=_ps.PIPELINE_DB)
         return y.reshape(-1)[: a.n] if a.n != rc else y.reshape(-1)
     xp = jnp.pad(x.reshape(r, LANES), ((h, h), (0, 0)))
     fn = dia_spmv_pallas
@@ -165,6 +167,7 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b,
     Falls back to matvec + elementwise when the matrix is too small for
     the kernel's clamped window (3·halo > R) or off-TPU (pass
     interpret=True to exercise the kernel logic on CPU)."""
+    from . import pallas_spmv as _ps
     from .pallas_spmv import (
         LANES, dia_smooth_step_pallas, halo_rows,
     )
@@ -187,7 +190,7 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b,
     xo, ro, do = dia_smooth_step_pallas(
         a.data, pad(x).reshape(rr, LANES), pad(r).reshape(rr, LANES),
         pad(d).reshape(rr, LANES), pad(s).reshape(rr, LANES), coef,
-        a.offsets, interpret=interpret)
+        a.offsets, db=_ps.PIPELINE_DB, interpret=interpret)
     n = a.n
     unpad = (lambda v: v.reshape(-1)[:n]) if n != rc else (
         lambda v: v.reshape(-1))

@@ -18,6 +18,7 @@ matrix, so zero padding is exact.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -27,9 +28,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Double-buffered pipeline for the manual x-window DMA (overlap the next
+# grid step's HBM fetch with this step's compute) + shared lane-shift
+# precomputation (one shifted window per DISTINCT lane shift instead of
+# two slices + a concat per tap — a 27-offset stencil has only ~3
+# distinct lane shifts). AMG_PALLAS_DB=0 falls back to the serial
+# single-buffer kernel (no-code-edit lever if Mosaic rejects the
+# double-buffer pattern on new hardware).
+PIPELINE_DB = os.environ.get("AMG_PALLAS_DB", "1") != "0"
+
 
 def _decompose(offsets):
     return [divmod(int(o), LANES) for o in offsets]
+
+
+def _lane_shifts(offsets):
+    """Distinct nonzero lane shifts, in tap order of first appearance."""
+    out = []
+    for _, s in _decompose(offsets):
+        if s and s not in out:
+            out.append(s)
+    return out
 
 
 def halo_rows(offsets) -> int:
@@ -113,6 +132,70 @@ def _dia_kernel_nopad(offsets, block_rows, halo, nrows, x_hbm, d_ref, o_ref,
     )
 
 
+def _dia_kernel_nopad_db(offsets, block_rows, halo, nrows, grid, x_hbm,
+                         d_ref, o_ref, xv, zv, sem):
+    """Pipelined variant of _dia_kernel_nopad (same clamped-window
+    contract):
+
+    * xv is a 2-slot window buffer; step i starts step i+1's HBM fetch
+      before computing, so the x DMA rides under the compute (the A-band
+      BlockSpec blocks are already pipelined by Mosaic — this removes
+      the one serial start/wait wall per grid step).
+    * zv holds one lane-shifted copy of the window per DISTINCT nonzero
+      lane shift, built once per step; each tap then reduces to a
+      dynamic row-slice + FMA instead of two slices + a concat.
+    """
+    i = pl.program_id(0)
+    copy = block_rows + 2 * halo
+    win = block_rows + 4 * halo
+    shifts = _lane_shifts(offsets)
+
+    def clamped_of(j):
+        start = j * jnp.int32(block_rows) - jnp.int32(halo)
+        return jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                           jnp.int32(nrows - copy))
+
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(clamped_of(j), copy)],
+            xv.at[slot, pl.ds(halo, copy)], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        # zero both slots' flanks once — the DMAs never touch them
+        xv[:, pl.ds(0, halo), :] = jnp.zeros((2, halo, LANES),
+                                             dtype=x_hbm.dtype)
+        xv[:, pl.ds(copy + halo, halo), :] = jnp.zeros(
+            (2, halo, LANES), dtype=x_hbm.dtype)
+        dma(0, jnp.int32(0)).start()
+
+    @pl.when(i + 1 < grid)
+    def _():
+        dma(i + 1, jax.lax.rem(i + jnp.int32(1), jnp.int32(2))).start()
+
+    slot = jax.lax.rem(i, jnp.int32(2))
+    dma(i, slot).wait()
+    delta = (i * jnp.int32(block_rows) - jnp.int32(halo)) - clamped_of(i)
+
+    # shared lane-shifted windows (valid rows 0..win-2; taps with s≠0
+    # have |r| ≤ halo-1 by the halo definition, so row win-1 is never
+    # read — the same invariant the unpipelined kernel's base+1 row uses)
+    for si, s in enumerate(shifts):
+        zv[si, pl.ds(0, win - 1), :] = jnp.concatenate(
+            [xv[slot, pl.ds(0, win - 1), pl.ds(s, LANES - s)],
+             xv[slot, pl.ds(1, win - 1), pl.ds(0, s)]], axis=1)
+
+    acc = jnp.zeros((block_rows, LANES), dtype=o_ref.dtype)
+    for k, (r, s) in enumerate(_decompose(offsets)):
+        base = 2 * halo + r + delta
+        if s == 0:
+            shifted = xv[slot, pl.ds(base, block_rows), :]
+        else:
+            shifted = zv[shifts.index(s), pl.ds(base, block_rows), :]
+        acc = acc + d_ref[k] * shifted
+    o_ref[:, :] = acc
+
+
 def _dia_smooth_kernel(offsets, block_rows, halo, nrows, d_hbm, a_ref,
                        x_ref, r_ref, s_ref, coef_ref, xo_ref, ro_ref,
                        do_ref, sem):
@@ -160,18 +243,79 @@ def _dia_smooth_kernel(offsets, block_rows, halo, nrows, d_hbm, a_ref,
     )
 
 
+def _dia_smooth_kernel_db(offsets, block_rows, halo, nrows, grid, d_hbm,
+                          a_ref, x_ref, r_ref, s_ref, coef_ref, xo_ref,
+                          ro_ref, do_ref, dv, zv, sem):
+    """Pipelined _dia_smooth_kernel: 2-slot d window (next step's fetch
+    rides under this step's compute) + shared lane-shifted windows."""
+    i = pl.program_id(0)
+    copy = block_rows + 2 * halo
+    win = block_rows + 4 * halo
+    shifts = _lane_shifts(offsets)
+
+    def clamped_of(j):
+        start = j * jnp.int32(block_rows) - jnp.int32(halo)
+        return jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                           jnp.int32(nrows - copy))
+
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            d_hbm.at[pl.ds(clamped_of(j), copy)],
+            dv.at[slot, pl.ds(halo, copy)], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dv[:, pl.ds(0, halo), :] = jnp.zeros((2, halo, LANES),
+                                             dtype=d_hbm.dtype)
+        dv[:, pl.ds(copy + halo, halo), :] = jnp.zeros(
+            (2, halo, LANES), dtype=d_hbm.dtype)
+        dma(0, jnp.int32(0)).start()
+
+    @pl.when(i + 1 < grid)
+    def _():
+        dma(i + 1, jax.lax.rem(i + jnp.int32(1), jnp.int32(2))).start()
+
+    slot = jax.lax.rem(i, jnp.int32(2))
+    dma(i, slot).wait()
+    delta = (i * jnp.int32(block_rows) - jnp.int32(halo)) - clamped_of(i)
+
+    for si, s in enumerate(shifts):
+        zv[si, pl.ds(0, win - 1), :] = jnp.concatenate(
+            [dv[slot, pl.ds(0, win - 1), pl.ds(s, LANES - s)],
+             dv[slot, pl.ds(1, win - 1), pl.ds(0, s)]], axis=1)
+
+    acc = jnp.zeros((block_rows, LANES), dtype=ro_ref.dtype)
+    for k, (r, s) in enumerate(_decompose(offsets)):
+        base = 2 * halo + r + delta
+        if s == 0:
+            shifted = dv[slot, pl.ds(base, block_rows), :]
+        else:
+            shifted = zv[shifts.index(s), pl.ds(base, block_rows), :]
+        acc = acc + a_ref[k] * shifted
+    d_blk = dv[slot, pl.ds(2 * halo + delta, block_rows), :]
+    r_new = r_ref[:, :] - acc
+    xo_ref[:, :] = x_ref[:, :] + d_blk
+    ro_ref[:, :] = r_new
+    do_ref[:, :] = coef_ref[0] * d_blk + coef_ref[1] * (
+        s_ref[:, :] * r_new)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "block_rows", "interpret"))
+                   static_argnames=("offsets", "block_rows", "db",
+                                    "interpret"))
 def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
                            block_rows: int | None = None,
+                           db: bool | None = None,
                            interpret: bool = False):
     """Fused (x', r', d') smoother step on (R, 128) operands.
 
     coef: shape-(2,) f32 array (c_a, c_b). Requires the nopad-kernel
     window contract 3·halo ≤ R (callers fall back to the unfused path
-    otherwise)."""
+    otherwise). db: pipelined kernel (default: module PIPELINE_DB)."""
     k, r, lanes = data.shape
     assert lanes == LANES
+    if db is None:
+        db = PIPELINE_DB
     h = halo_rows(offsets)
     if block_rows is None:
         vmem_budget = 4 * 1024 * 1024
@@ -184,8 +328,21 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
     assert r % block_rows == 0, (r, block_rows)
     assert block_rows + 2 * h <= r, "matrix too small for the fused kernel"
     grid = r // block_rows
+    win = block_rows + 4 * h
+    n_shift = len(_lane_shifts(offsets))
 
-    kernel = functools.partial(_dia_smooth_kernel, offsets, block_rows, h, r)
+    if db:
+        kernel = functools.partial(_dia_smooth_kernel_db, offsets,
+                                   block_rows, h, r, grid)
+        scratch = [
+            pltpu.VMEM((2, win, LANES), data.dtype),
+            pltpu.VMEM((max(n_shift, 1), win, LANES), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_dia_smooth_kernel, offsets, block_rows,
+                                   h, r)
+        scratch = [pltpu.SemaphoreType.DMA(())]
     blk = lambda: pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -202,7 +359,12 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
         ],
         out_specs=(blk(), blk(), blk()),
         out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=((2 + max(n_shift, 1)) * win
+                              + 2 * (k + 8) * block_rows) * LANES * 4
+            + 4 * 1024 * 1024,
+        ) if db else None,
         cost_estimate=pl.CostEstimate(
             flops=(2 * k + 5) * r * LANES,
             bytes_accessed=(k + 7) * r * LANES * 4,
@@ -371,12 +533,18 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "block_rows"))
-def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
-    """Unpadded-x variant: data (K, R, 128), x2d (R, 128) → y (R, 128)."""
+@functools.partial(jax.jit, static_argnames=("offsets", "block_rows", "db",
+                                              "interpret"))
+def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None,
+                          db: bool | None = None, interpret: bool = False):
+    """Unpadded-x variant: data (K, R, 128), x2d (R, 128) → y (R, 128).
+
+    db: double-buffered pipelined kernel (default: module PIPELINE_DB)."""
     k, r, lanes = data.shape
     assert lanes == LANES
     assert x2d.shape == (r, LANES), (x2d.shape, r)
+    if db is None:
+        db = PIPELINE_DB
     h = halo_rows(offsets)
     if block_rows is None:
         vmem_budget = 4 * 1024 * 1024
@@ -391,8 +559,26 @@ def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
     assert block_rows + 2 * h <= r, (
         "matrix too small for the nopad kernel window")
     grid = r // block_rows
+    win = block_rows + 4 * h
+    n_shift = len(_lane_shifts(offsets))
 
-    kernel = functools.partial(_dia_kernel_nopad, offsets, block_rows, h, r)
+    if db:
+        kernel = functools.partial(_dia_kernel_nopad_db, offsets,
+                                   block_rows, h, r, grid)
+        scratch = [
+            pltpu.VMEM((2, win, LANES), data.dtype),            # xv slots
+            pltpu.VMEM((max(n_shift, 1), win, LANES), data.dtype),  # zv
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        vmem_bytes = ((2 + max(n_shift, 1)) * win
+                      + 2 * (k + 1) * block_rows) * LANES * 4
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_bytes + 4 * 1024 * 1024)
+    else:
+        kernel = functools.partial(_dia_kernel_nopad, offsets, block_rows,
+                                   h, r)
+        scratch = [pltpu.SemaphoreType.DMA(())]
+        compiler_params = None
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -405,12 +591,14 @@ def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None):
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, LANES), data.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * r * LANES,
             bytes_accessed=(k + 2) * r * LANES * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x2d, data)
 
 

@@ -121,20 +121,35 @@ def main():
 
     # warm-up with IDENTICAL static args (max_outer/inner_maxiter are jit
     # statics — different values would recompile inside the timed call).
-    # The fused coarse-tail kernel (sparse/pallas_cycle.py) engages
-    # automatically on TPU; if Mosaic rejects it on this chip, fall back
-    # to the per-op tail rather than failing the whole bench.
-    try:
-        res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
-    except Exception as e:
-        if getattr(h.device, "fused_tail", None) is None:
-            raise
-        print(f"fused tail failed ({type(e).__name__}); retrying unfused",
-              file=sys.stderr)
-        from amg_ann_tpu.solvers import cycle as _cycle_mod
+    # Two opt-in kernel features can in principle fail Mosaic compile on
+    # new hardware: the fused coarse-tail (sparse/pallas_cycle.py) and
+    # the double-buffered DMA pipeline (sparse/pallas_spmv.PIPELINE_DB).
+    # Fall back feature by feature rather than failing the whole bench.
+    def _warm():
+        return ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
 
-        _cycle_mod.FUSED_TAIL_MODE = "never"
-        res = ir_solve(a, b, params, hierarchy=h, rtol=RTOL)
+    try:
+        res = _warm()
+    except Exception as e:
+        from amg_ann_tpu.solvers import cycle as _cycle_mod
+        from amg_ann_tpu.sparse import pallas_spmv as _ps
+
+        if getattr(h.device, "fused_tail", None) is not None:
+            print(f"warm-up failed ({type(e).__name__}); retrying with "
+                  "the fused tail disabled", file=sys.stderr)
+            _cycle_mod.FUSED_TAIL_MODE = "never"
+            try:
+                res = _warm()
+            except Exception as e2:
+                print(f"still failing ({type(e2).__name__}); retrying "
+                      "with the DMA pipeline disabled too", file=sys.stderr)
+                _ps.PIPELINE_DB = False
+                res = _warm()
+        else:
+            print(f"warm-up failed ({type(e).__name__}); retrying with "
+                  "the DMA pipeline disabled", file=sys.stderr)
+            _ps.PIPELINE_DB = False
+            res = _warm()
 
     # sustained timing: K identical back-to-back device solves dispatched
     # asynchronously, ONE sync at the end — the axon tunnel costs
