@@ -195,10 +195,12 @@ def _pad2d(v, rows):
 def build_fused_tail(levels, coarse_inv, params, vmem_cap=None):
     """Build the fused-tail plan for a structured hierarchy, or None.
 
-    Picks the smallest l0 ≥ 1 whose tail operands fit the VMEM budget
-    and whose transfer maps decompose into ≤ MAX_TERMS selection terms.
-    Requires: V-cycle, operator-induced weights (p_w) on every fused
-    level, f32 data, scalar StructuredLevel tail.
+    Picks the smallest l0 ≥ 0 whose tail operands fit the VMEM budget
+    and whose transfer maps decompose into ≤ MAX_TERMS selection terms —
+    l0 = 0 means the ENTIRE V-cycle preconditioner is one Pallas launch
+    (small problems, ≲32³; the footprint check keeps bigger fine levels
+    on the per-op path). Requires: V-cycle, operator-induced weights
+    (p_w) on every fused level, f32 data, scalar StructuredLevel tail.
     """
     from ..amg.structured_mg import StructuredLevel
     from ..amg.transfer import transfer_dia
@@ -223,7 +225,7 @@ def build_fused_tail(levels, coarse_inv, params, vmem_cap=None):
     rows_c = -(-n_last // LANES)
     inv_bytes = rows_c * rows_c * LANES * LANES * 4
 
-    for l0 in range(1, L - 1):
+    for l0 in range(0, L - 1):
         tail = levels[l0:]
         footprint = inv_bytes + 6 * tail[0].a.data.shape[1] * LANES * 4
         for lev in tail[:-1]:

@@ -85,6 +85,8 @@ class TestFusedTailKernel:
         params = AMGParams(smoother="chebyshev", dtype=np.float32,
                            max_coarse_size=64)
         h = _hierarchy(a, (32, 32, 32), params, monkeypatch)
+        # small problems fuse the ENTIRE V-cycle into one launch
+        assert h.device.fused_tail.l0 == 0
         _tail_vs_unfused(h, rng)
 
     def test_bench_geometry_64(self, rng, monkeypatch):
