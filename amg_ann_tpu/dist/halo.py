@@ -7,15 +7,20 @@ minimal exchange explicitly:
 
     from_left  = ppermute(x_local[-halo:], shift +1)   # neighbor's tail
     from_right = ppermute(x_local[:halo],  shift -1)   # neighbor's head
-    x_ext = [from_left | x_local | from_right]
-    y_local = Σ_k d_k ⊙ x_ext[halo+o_k : halo+o_k+nb]
+    y_local  = Σ_k d_k ⊙ zeropad(x_local)[halo+o_k : halo+o_k+nb]  # interior
+    y[:halo]  += Σ_k d_k[:halo]  ⊙ window(from_left)               # boundary
+    y[-halo:] += Σ_k d_k[-halo:] ⊙ window(from_right)
 
 Ring wrap-around at the ends delivers garbage values that are annihilated
 by the zero coefficients DIA carries where an offset walks off the matrix —
 the same argument that makes circular rolls exact (sparse/dia.py).
 
-The two ppermutes are independent of the diagonal-0 product and overlap
-with local compute under XLA's async collectives.
+The interior product reads ONLY x_local (halo reads are zero-padded), so
+it has no data dependency on either ppermute; on TPU the latency-hiding
+scheduler runs the collective-permutes concurrently with the O(K·nb)
+interior compute, and only the O(K·halo) boundary corrections wait on
+them. (The previous formulation concatenated the permute results into
+x_ext before ANY multiply, serializing exchange → compute.)
 """
 
 from __future__ import annotations
@@ -32,12 +37,35 @@ def dia_halo(offsets) -> int:
     return max((abs(int(o)) for o in offsets), default=1)
 
 
-def _local_spmv(data_loc, x_ext, offsets, halo: int, nb: int):
+def _local_spmv(data_loc, x_loc, from_left, from_right, offsets,
+                halo: int, nb: int):
+    """y = A_loc @ [from_left | x_loc | from_right], overlap-friendly.
+
+    The interior sum reads only a zero-padded x_loc — no dependency on the
+    ppermute outputs — so XLA can overlap the exchange with it. Boundary
+    rows then get the halo contributions: row i < halo reads from_left at
+    ext index halo+i+o (only when i+o < 0, i.e. index < halo; the padded
+    window is zero elsewhere), and row nb-halo+i' reads from_right at
+    i'+o-halo (only when ≥ 0; ditto)."""
+    zeros = jnp.zeros((halo,), dtype=x_loc.dtype)
+    xp = jnp.concatenate([zeros, x_loc, zeros])
     y = jnp.zeros(nb, dtype=data_loc.dtype)
     for k, o in enumerate(offsets):
         y = y + data_loc[k] * jax.lax.dynamic_slice(
-            x_ext, (halo + int(o),), (nb,))
-    return y
+            xp, (halo + int(o),), (nb,))
+    # boundary corrections: windows padded so out-of-halo reads are zero
+    zeros2 = jnp.zeros((2 * halo,), dtype=x_loc.dtype)
+    u = jnp.concatenate([from_left, zeros2])    # index halo+i+o, hot < halo
+    v = jnp.concatenate([zeros2, from_right])   # index halo+i'+o, hot ≥ 2h
+    cl = jnp.zeros(halo, dtype=data_loc.dtype)
+    cr = jnp.zeros(halo, dtype=data_loc.dtype)
+    for k, o in enumerate(offsets):
+        cl = cl + data_loc[k, :halo] * jax.lax.dynamic_slice(
+            u, (halo + int(o),), (halo,))
+        cr = cr + data_loc[k, nb - halo:] * jax.lax.dynamic_slice(
+            v, (halo + int(o),), (halo,))
+    y = y.at[:halo].add(cl)
+    return y.at[nb - halo:].add(cr)
 
 
 import dataclasses as _dc
@@ -68,9 +96,8 @@ class HaloDIA:
         bwd = [(i, (i - 1) % self.ndev) for i in range(self.ndev)]
         from_left = jax.lax.ppermute(x_loc[-self.halo:], self.axis, fwd)
         from_right = jax.lax.ppermute(x_loc[:self.halo], self.axis, bwd)
-        x_ext = jnp.concatenate([from_left, x_loc, from_right])
-        return _local_spmv(self.data, x_ext, self.offsets, self.halo,
-                           x_loc.shape[0])
+        return _local_spmv(self.data, x_loc, from_left, from_right,
+                           self.offsets, self.halo, x_loc.shape[0])
 
 
 def halo_spmv_shardmap(a: DIA, mesh: Mesh, axis: str = "rows"):
@@ -94,8 +121,8 @@ def halo_spmv_shardmap(a: DIA, mesh: Mesh, axis: str = "rows"):
         # data_loc: (K, nb); x_loc: (nb,)
         from_left = jax.lax.ppermute(x_loc[-halo:], axis, fwd)
         from_right = jax.lax.ppermute(x_loc[:halo], axis, bwd)
-        x_ext = jnp.concatenate([from_left, x_loc, from_right])
-        return _local_spmv(data_loc, x_ext, offsets, halo, nb)
+        return _local_spmv(data_loc, x_loc, from_left, from_right,
+                           offsets, halo, nb)
 
     fn = jax.shard_map(
         kernel, mesh=mesh,

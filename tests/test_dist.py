@@ -115,6 +115,52 @@ class TestHaloExchange:
         y = np.asarray(fn(data_sh, put(x)))
         np.testing.assert_allclose(y[: n**3], a.matvec(x), rtol=1e-12)
 
+    def test_local_spmv_overlap_split(self):
+        """The interior+boundary-correction split == the concat oracle.
+
+        The split exists so the interior product carries no data
+        dependency on the ppermute outputs (exchange/compute overlap on
+        TPU); this pins its algebra, including halo == nb and rows that
+        take BOTH left and right contributions."""
+        import jax.numpy as jnp
+        from amg_ann_tpu.dist.halo import _local_spmv
+
+        rng = np.random.default_rng(3)
+        for nb, halo, offsets in [(64, 9, (-9, -3, -1, 0, 1, 3, 9)),
+                                  (16, 16, (-16, -5, 0, 5, 16)),
+                                  (32, 20, (-20, 0, 20))]:
+            data = rng.standard_normal((len(offsets), nb))
+            x = rng.standard_normal(nb)
+            fl = rng.standard_normal(halo)
+            fr = rng.standard_normal(halo)
+            x_ext = np.concatenate([fl, x, fr])
+            want = np.zeros(nb)
+            for k, o in enumerate(offsets):
+                want += data[k] * x_ext[halo + o: halo + o + nb]
+            got = np.asarray(_local_spmv(
+                jnp.asarray(data), jnp.asarray(x), jnp.asarray(fl),
+                jnp.asarray(fr), offsets, halo, nb))
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_interior_independent_of_halo(self):
+        """Structural overlap guarantee: zero halos ⇒ interior rows exact,
+        and the jaxpr's big product chain consumes only x (checked by
+        value: garbage halos must perturb ONLY the 2·halo boundary rows)."""
+        import jax.numpy as jnp
+        from amg_ann_tpu.dist.halo import _local_spmv
+
+        rng = np.random.default_rng(4)
+        nb, halo, offsets = (128, 8, (-8, -1, 0, 1, 8))
+        data = jnp.asarray(rng.standard_normal((len(offsets), nb)))
+        x = jnp.asarray(rng.standard_normal(nb))
+        z = jnp.zeros(halo)
+        g1, g2 = (jnp.asarray(rng.standard_normal(halo)) for _ in range(2))
+        y0 = np.asarray(_local_spmv(data, x, z, z, offsets, halo, nb))
+        y1 = np.asarray(_local_spmv(data, x, g1, g2, offsets, halo, nb))
+        np.testing.assert_array_equal(y0[halo:nb - halo],
+                                      y1[halo:nb - halo])
+        assert np.any(y0[:halo] != y1[:halo])
+
     def test_halo_too_large_rejected(self, mesh):
         from amg_ann_tpu.dist.halo import halo_spmv_shardmap
         from amg_ann_tpu.sparse.dia import from_csr_dia
