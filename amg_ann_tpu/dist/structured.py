@@ -244,8 +244,9 @@ def _local_cycle(dh: DistStructuredHierarchy, params, l, b_loc, axis):
     lev = dh.sharded[l]
     x = jnp.zeros_like(b_loc)
     r = b_loc
-    for _ in range(params.n_pre_smooth):
-        x, r = smooth_rx(lev, x, b_loc, params, r=r, want_residual=True)
+    for i in range(params.n_pre_smooth):
+        x, r = smooth_rx(lev, x, b_loc, params, r=r, want_residual=True,
+                         x_is_zero=(i == 0))
     bc = _restrict_local(r, lev, axis)
     xc = _local_cycle(dh, params, l + 1, bc, axis)
     x = x + _prolongate_local(xc, lev, axis)

@@ -79,8 +79,9 @@ def _cycle(h, l, b):
     # the restriction input comes for free instead of via an extra matvec.
     x = jnp.zeros_like(b)
     r = b
-    for _ in range(params.n_pre_smooth):
-        x, r = smooth_rx(lev, x, b, params, r=r, want_residual=True)
+    for i in range(params.n_pre_smooth):
+        x, r = smooth_rx(lev, x, b, params, r=r, want_residual=True,
+                         x_is_zero=(i == 0))
 
     structured = isinstance(lev, StructuredLevel)
     block = isinstance(lev, BlockStructuredLevel)

@@ -76,6 +76,29 @@ def op_cheb_sweep(op, x, r, d, s, coefs):
     return x, r, d
 
 
+def op_smooth_apply(op, x, b, s, coefs, x_zero: bool, want_res: bool):
+    """One COMPLETE smoother application (solvers/smoothers.smooth_rx
+    semantics) from (x, b): computes the initial residual itself
+    (r = b − A x, elided when x_zero), runs the coefs-row recurrence, and
+    returns (x', r' or None). On TPU DIA operands the WHOLE application —
+    including the initial-residual matvec that used to be a separate
+    launch — is ONE fused Pallas kernel."""
+    if _use_pallas(op):
+        from ..sparse.dia import dia_smooth_apply_fast
+
+        return dia_smooth_apply_fast(op, x, b, s, coefs, x_zero, want_res)
+    r = b if x_zero else b - op_matvec(op, x)
+    d = coefs[0, 0] * (s * r)
+    for j in range(1, int(coefs.shape[0])):
+        t = op_matvec(op, d)
+        x = x + d
+        r = r - t
+        d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+    if want_res:
+        return x + d, r - op_matvec(op, d)
+    return x + d, None
+
+
 def op_smooth_step(op, x, r, d, s, c_a, c_b):
     """One residual-carrying smoother step (solvers/smoothers.py):
 

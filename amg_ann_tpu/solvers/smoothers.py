@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .ops import op_cheb_sweep, op_matvec, op_smooth_step
+from .ops import op_cheb_sweep, op_matvec, op_smooth_apply, op_smooth_step
 
 
 def _coeffs(lev, params):
@@ -35,19 +35,67 @@ def _coeffs(lev, params):
     raise ValueError(f"unknown smoother {params.smoother!r}")
 
 
-def smooth_rx(lev, x, b, params, r=None, want_residual=False):
+def smoother_coef_rows(lev, params):
+    """(n_rows, 2) recurrence coefficients for ONE smoother application
+    in the op_smooth_apply format: row 0 = (init_scale, 0) seeds
+    d = init_scale·(s ⊙ r); rows 1.. = (c_a, c_b) recurrence steps.
+    Built from traced scalars (λ_max lives on device) so the jit cache is
+    θ-independent. The fused-tail kernel (sparse/pallas_cycle.py) uses
+    the same rows."""
+    dt = lev.inv_diag.dtype
+    if params.smoother == "chebyshev":
+        lmax = lev.lam_max
+        lmin = 0.3 * lmax
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma1 = theta / delta
+        rows = [jnp.stack([1.0 / theta, jnp.zeros((), dt)])]
+        rho = 1.0 / sigma1
+        for _ in range(params.cheb_degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            rows.append(jnp.stack([
+                jnp.asarray(rho_new * rho, dtype=dt),
+                jnp.asarray(2.0 * rho_new / delta, dtype=dt)]))
+            rho = rho_new
+        return jnp.stack(rows)
+    if params.smoother == "jacobi":
+        return jnp.stack([1.0 / lev.lam_max,
+                          jnp.zeros((), dt)]).reshape(1, 2)
+    if params.smoother == "l1jacobi":
+        return jnp.asarray([[1.0, 0.0]], dtype=dt)
+    raise ValueError(params.smoother)
+
+
+def smoother_scale_vec(lev, params):
+    """The s vector of the recurrence: D⁻¹ (Jacobi/Chebyshev) or D_ℓ1⁻¹."""
+    return lev.inv_l1 if params.smoother == "l1jacobi" else lev.inv_diag
+
+
+def smooth_rx(lev, x, b, params, r=None, want_residual=False,
+              x_is_zero=False):
     """One smoother application; returns (x', r') with r' = b − A x'
     (r' is None unless want_residual).
 
     r: the CURRENT residual b − A x if the caller knows it (pass b when
-    x == 0); None → computed here with one matvec.
+    x == 0); None → computed here. x_is_zero: promise that x == 0 (the
+    V-cycle entry), which lets the fused path skip the x stream entirely.
+
+    When r is None or x_is_zero, the WHOLE application — initial
+    residual, recurrence, optional output residual — is one
+    op_smooth_apply (one Pallas launch on TPU DIA levels). The known-r,
+    x ≠ 0 case (2nd+ pre-smooth sweep) keeps the op_cheb_sweep path.
     """
+    if r is None or x_is_zero:
+        coefs = smoother_coef_rows(lev, params)
+        s = smoother_scale_vec(lev, params)
+        x2, r2 = op_smooth_apply(lev.a, x, b, s, coefs,
+                                 x_zero=x_is_zero, want_res=want_residual)
+        return (x2, r2) if want_residual else (x2, None)
+
     if params.smoother == "chebyshev":
         return _chebyshev_rx(lev, x, b, params, r, want_residual)
 
     s, scale = _coeffs(lev, params)
-    if r is None:
-        r = b - op_matvec(lev.a, x)
     d = scale * (s * r)
     if want_residual:
         x, r, _ = op_smooth_step(lev.a, x, r, d, s, 0.0, 0.0)

@@ -238,6 +238,55 @@ def dia_cheb_sweep_fast(a: DIA, x, r, d, s, coefs, interpret: bool = False):
     return unpad(xo), unpad(ro), unpad(do)
 
 
+def dia_smooth_apply_fast(a: DIA, x, b, s, coefs, x_zero: bool,
+                          want_res: bool, interpret: bool = False):
+    """One COMPLETE smoother application in ONE Pallas launch
+    (sparse/pallas_spmv.dia_smooth_apply_pallas): the initial residual
+    r = b − A x (elided when x_zero), the d = c₀(s⊙r) seed, every
+    recurrence step, and the optional output residual all share one
+    shrinking-window schedule — smooth_rx(r=None) stops costing a
+    separate matvec launch.
+
+    Returns (x', r' or None). Falls back to matvec + dia_cheb_sweep_fast
+    when the matrix is too small for the window or off-TPU."""
+    from .pallas_spmv import LANES, dia_smooth_apply_pallas, halo_rows
+
+    n_rows = int(coefs.shape[0])
+    n_apps = (0 if x_zero else 1) + (n_rows - 1) + (1 if want_res else 0)
+    rr = a.data.shape[1]
+    rc = rr * LANES
+    h = halo_rows(a.offsets)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (a.cols != LANES or n_apps < 1 or 8 + 2 * n_apps * h > rr
+            or not (on_tpu or interpret)):
+        r = b if x_zero else b - dia_spmv(a, x)
+        d = coefs[0, 0] * (s * r)
+        for j in range(1, n_rows):
+            t = dia_spmv(a, d)
+            x = x + d
+            r = r - t
+            d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+        if want_res:
+            return x + d, r - dia_spmv(a, d)
+        return x + d, None
+
+    def pad(v):
+        return jnp.pad(v, (0, rc - v.shape[0])) if v.shape[0] != rc else v
+
+    x2 = (jnp.zeros((rr, LANES), a.data.dtype) if x_zero
+          else pad(x).reshape(rr, LANES))
+    out = dia_smooth_apply_pallas(
+        a.data, x2, pad(b).reshape(rr, LANES), pad(s).reshape(rr, LANES),
+        coefs.astype(a.data.dtype), a.offsets, x_zero, want_res,
+        interpret=interpret)
+    n = a.n
+    unpad = (lambda v: v.reshape(-1)[:n]) if n != rc else (
+        lambda v: v.reshape(-1))
+    if want_res:
+        return unpad(out[0]), unpad(out[1])
+    return unpad(out), None
+
+
 def _interp_call(ps, data, xp, offsets):
     # interpret-mode twin of dia_spmv_pallas for CPU testing
     import functools

@@ -157,31 +157,11 @@ class FusedTail:
 
 
 def _smoother_rows(lev, params):
-    """(n_rows, 2) recurrence coefficients for one smoother application
-    (solvers/smoothers.py semantics). Row 0 = (init_scale, 0) for
-    d = init_scale · (s ⊙ r); rows 1.. are Chebyshev (c_a, c_b)."""
-    dt = lev.inv_diag.dtype
-    if params.smoother == "chebyshev":
-        lmax = lev.lam_max
-        lmin = 0.3 * lmax
-        theta = 0.5 * (lmax + lmin)
-        delta = 0.5 * (lmax - lmin)
-        sigma1 = theta / delta
-        rows = [jnp.stack([1.0 / theta, jnp.zeros((), dt)])]
-        rho = 1.0 / sigma1
-        for _ in range(params.cheb_degree - 1):
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            rows.append(jnp.stack([
-                jnp.asarray(rho_new * rho, dtype=dt),
-                jnp.asarray(2.0 * rho_new / delta, dtype=dt)]))
-            rho = rho_new
-        return jnp.stack(rows)
-    if params.smoother == "jacobi":
-        return jnp.stack([1.0 / lev.lam_max,
-                          jnp.zeros((), dt)]).reshape(1, 2)
-    if params.smoother == "l1jacobi":
-        return jnp.asarray([[1.0, 0.0]], dtype=dt)
-    raise ValueError(params.smoother)
+    """(n_rows, 2) recurrence coefficients for one smoother application —
+    the shared op_smooth_apply row format (solvers/smoothers.py)."""
+    from ..solvers.smoothers import smoother_coef_rows
+
+    return smoother_coef_rows(lev, params)
 
 
 def _pad2d(v, rows):

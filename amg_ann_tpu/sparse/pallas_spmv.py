@@ -533,6 +533,197 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
     return out
 
 
+def _dia_apply_kernel(offsets, block_rows, halo, n_apps, n_rows_coef,
+                      x_zero, want_res, nrows, *refs):
+    """Fused WHOLE smoother application (solvers/smoothers.smooth_rx):
+
+        r = b − A x          (elided when x_zero — then r = b)
+        d = c₀·(s ⊙ r)
+        repeat rows 1..:  t = A d;  x += d;  r −= t;  d = c_a d + c_b (s⊙r)
+        return x + d [, r − A d when want_res]
+
+    in ONE launch — the initial-residual matvec that smooth_rx(r=None)
+    used to issue as a separate kernel is just the first A-application of
+    the same shrinking-window schedule (temporal tiling identical to
+    _dia_cheb_kernel: each of the n_apps stencil applications consumes
+    `halo` rows of window per side)."""
+    i = pl.program_id(0)
+    big_h = n_apps * halo
+    copy = block_rows + 2 * big_h
+    win = block_rows + 4 * big_h
+    start = i * jnp.int32(block_rows) - jnp.int32(big_h)
+    clamped = jnp.minimum(jnp.maximum(start, jnp.int32(0)),
+                          jnp.int32(nrows - copy))
+    delta = start - clamped
+
+    it = iter(refs)
+    x_hbm = None if x_zero else next(it)
+    b_hbm = next(it)
+    s_hbm = next(it)
+    a_hbm = next(it)
+    coef_ref = next(it)
+    xo_ref = next(it)
+    ro_ref = next(it) if want_res else None
+    sems = list(it)
+
+    def stencil(av, v, lo, width):
+        """Σ_k a_k ⊙ shift(v, o_k) on window rows [lo, lo+width)."""
+        acc = jnp.zeros((width, LANES), dtype=v.dtype)
+        for k, (rr, ss) in enumerate(_decompose(offsets)):
+            base = lo + rr
+            if ss == 0:
+                shifted = v[pl.ds(base, width), :]
+            else:
+                hi = v[pl.ds(base, width), pl.ds(ss, LANES - ss)]
+                lo2 = v[pl.ds(base + 1, width), pl.ds(0, ss)]
+                shifted = jnp.concatenate([hi, lo2], axis=1)
+            acc = acc + av[k, pl.ds(lo, width), :] * shifted
+        return acc
+
+    def body(*bufs):
+        bufs = list(bufs)
+        xv = None if x_zero else bufs.pop(0)
+        rv, dv, sv, av = bufs
+
+        vecs = ([] if x_zero else [(x_hbm, xv, sems[0])]) + [
+            (b_hbm, rv, sems[-3]), (s_hbm, sv, sems[-2])]
+        for _, v, _s in vecs:
+            v[pl.ds(0, big_h), :] = jnp.zeros((big_h, LANES),
+                                              dtype=b_hbm.dtype)
+            v[pl.ds(copy + big_h, big_h), :] = jnp.zeros(
+                (big_h, LANES), dtype=b_hbm.dtype)
+        av[:, pl.ds(0, big_h), :] = jnp.zeros(
+            (av.shape[0], big_h, LANES), dtype=a_hbm.dtype)
+        av[:, pl.ds(copy + big_h, big_h), :] = jnp.zeros(
+            (av.shape[0], big_h, LANES), dtype=a_hbm.dtype)
+        copies = [
+            pltpu.make_async_copy(h.at[pl.ds(clamped, copy)],
+                                  v.at[pl.ds(big_h, copy)], sem)
+            for (h, v, sem) in vecs
+        ] + [pltpu.make_async_copy(a_hbm.at[:, pl.ds(clamped, copy)],
+                                   av.at[:, pl.ds(big_h, copy)],
+                                   sems[-1])]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        mid = 2 * big_h + delta
+        aidx = 0
+        # initial residual: rv holds b; subtract A x where still needed
+        if not x_zero:
+            ext = (n_apps - 1 - aidx) * halo
+            width = block_rows + 2 * ext
+            lo = mid - ext
+            t = stencil(av, xv, lo, width)
+            rv[pl.ds(lo, width), :] = rv[pl.ds(lo, width), :] - t
+            aidx += 1
+            x_acc = xv[pl.ds(mid, block_rows), :]
+        else:
+            x_acc = jnp.zeros((block_rows, LANES), dtype=b_hbm.dtype)
+        # d = c0 · (s ⊙ r) on the region the remaining apps will consume
+        ext = (n_apps - aidx) * halo
+        width = block_rows + 2 * ext
+        lo = mid - ext
+        dv[pl.ds(lo, width), :] = coef_ref[0, 0] * (
+            sv[pl.ds(lo, width), :] * rv[pl.ds(lo, width), :])
+        for j in range(1, n_rows_coef):
+            ext = (n_apps - 1 - aidx) * halo
+            width = block_rows + 2 * ext
+            lo = mid - ext
+            t = stencil(av, dv, lo, width)
+            x_acc = x_acc + dv[pl.ds(mid, block_rows), :]
+            r_new = rv[pl.ds(lo, width), :] - t
+            rv[pl.ds(lo, width), :] = r_new
+            dv[pl.ds(lo, width), :] = coef_ref[j, 0] * dv[
+                pl.ds(lo, width), :] + coef_ref[j, 1] * (
+                sv[pl.ds(lo, width), :] * r_new)
+            aidx += 1
+        if want_res:
+            t = stencil(av, dv, mid, block_rows)
+            xo_ref[:, :] = x_acc + dv[pl.ds(mid, block_rows), :]
+            ro_ref[:, :] = rv[pl.ds(mid, block_rows), :] - t
+        else:
+            xo_ref[:, :] = x_acc + dv[pl.ds(mid, block_rows), :]
+
+    k = a_hbm.shape[0]
+    scoped = ([] if x_zero else [pltpu.VMEM((win, LANES), b_hbm.dtype)]) + [
+        pltpu.VMEM((win, LANES), b_hbm.dtype),   # r (starts as b)
+        pltpu.VMEM((win, LANES), b_hbm.dtype),   # d
+        pltpu.VMEM((win, LANES), b_hbm.dtype),   # s
+        pltpu.VMEM((k, win, LANES), a_hbm.dtype),
+    ]
+    pl.run_scoped(body, *scoped)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "x_zero", "want_res",
+                                    "block_rows", "interpret"))
+def dia_smooth_apply_pallas(data, x2d, b2d, s2d, coefs, offsets,
+                            x_zero: bool, want_res: bool,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """One COMPLETE smoother application as a single launch (see
+    _dia_apply_kernel). coefs: (n_rows, 2); row 0 = (init_scale, ·) for
+    d = init_scale·(s⊙r), rows 1.. = (c_a, c_b). x2d is ignored
+    mathematically when x_zero (the r = b − A x matvec is elided; pass
+    zeros). Returns x' or (x', r') when want_res. Requires the window
+    contract B + 2·n_apps·halo ≤ R (callers fall back otherwise)."""
+    k, r, lanes = data.shape
+    assert lanes == LANES
+    n_rows_coef = int(coefs.shape[0])
+    n_apps = (0 if x_zero else 1) + (n_rows_coef - 1) + (1 if want_res
+                                                         else 0)
+    assert n_apps >= 1, "nothing to fuse (no stencil application)"
+    h = halo_rows(offsets)
+    big_h = n_apps * h
+    if block_rows is None:
+        vmem_budget = 3 * 1024 * 1024
+        target = max(8, min(r, vmem_budget // (max(k, 3) * LANES * 4)))
+        block_rows = 1
+        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
+            block_rows *= 2
+        while block_rows > 1 and block_rows + 2 * big_h > r:
+            block_rows //= 2
+    assert r % block_rows == 0, (r, block_rows)
+    assert block_rows + 2 * big_h <= r, (
+        "matrix too small for the fused apply window")
+    grid = r // block_rows
+    win = block_rows + 4 * big_h
+
+    kernel = functools.partial(_dia_apply_kernel, offsets, block_rows, h,
+                               n_apps, n_rows_coef, x_zero, want_res, r)
+    n_vec_dma = (0 if x_zero else 1) + 2
+    in_arrays = (() if x_zero else (x2d,)) + (b2d, s2d, data, coefs)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (n_vec_dma + 1) + [
+        pl.BlockSpec((n_rows_coef, 2), lambda i: (i * 0, i * 0),
+                     memory_space=pltpu.SMEM)]
+    blk = lambda: pl.BlockSpec((block_rows, LANES), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM)
+    n_out = 2 if want_res else 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(blk(), blk()) if want_res else blk(),
+        out_shape=tuple(jax.ShapeDtypeStruct((r, LANES), data.dtype)
+                        for _ in range(n_out)) if want_res
+        else jax.ShapeDtypeStruct((r, LANES), data.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())] * (n_vec_dma + 1),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=((k + 4) * win + 8 * block_rows)
+            * LANES * 4 + 4 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_apps * (2 * k + 5) * r * LANES,
+            bytes_accessed=(k + 3 + n_vec_dma) * r * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*in_arrays)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block_rows", "db",
                                               "interpret"))
 def dia_spmv_pallas_nopad(data, x2d, offsets, block_rows: int | None = None,

@@ -1,0 +1,125 @@
+"""Fused whole-smoother-application kernel (op_smooth_apply /
+sparse/pallas_spmv._dia_apply_kernel).
+
+Interpret-mode parity against the pure per-step recurrence at the call
+patterns the V-cycle issues: pre-smoothing (x = 0, output residual) and
+post-smoothing (x ≠ 0, initial residual computed IN-kernel, no output
+residual), for all three smoother types, at geometries that exercise the
+clamped windows. Plus solve-level parity: the rewired smooth_rx must not
+change PCG iteration counts.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amg_ann_tpu.amg import AMGParams
+from amg_ann_tpu.fem import anisotropic_27pt, poisson_7pt
+from amg_ann_tpu.sparse.dia import (dia_smooth_apply_fast, dia_spmv,
+                                    from_csr_dia)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(17)
+
+
+def _oracle(d_op, x, b, s, coefs, x_zero, want_res):
+    """Pure numpy recurrence (the op_smooth_apply contract)."""
+    r = b if x_zero else b - np.asarray(dia_spmv(d_op, x))
+    d = coefs[0, 0] * (s * r)
+    for j in range(1, coefs.shape[0]):
+        t = np.asarray(dia_spmv(d_op, d))
+        x = x + d
+        r = r - t
+        d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+    if want_res:
+        return x + d, r - np.asarray(dia_spmv(d_op, d))
+    return x + d, None
+
+
+def _check(a, coefs, x_zero, want_res, rng):
+    d_op = from_csr_dia(a)
+    rr = d_op.data.shape[1]
+    n = rr * 128
+    x = (np.zeros(n, np.float32) if x_zero
+         else rng.random(n).astype(np.float32))
+    b = rng.random(n).astype(np.float32)
+    s = (0.1 + rng.random(n)).astype(np.float32)
+    coefs = np.asarray(coefs, np.float32)
+    want_x, want_r = _oracle(d_op, x, b, s, coefs, x_zero, want_res)
+    got_x, got_r = dia_smooth_apply_fast(
+        d_op, jnp.asarray(x[: d_op.n]), jnp.asarray(b[: d_op.n]),
+        jnp.asarray(s[: d_op.n]), jnp.asarray(coefs), x_zero, want_res,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_x), want_x[: d_op.n],
+                               rtol=3e-5, atol=1e-4)
+    if want_res:
+        np.testing.assert_allclose(np.asarray(got_r), want_r[: d_op.n],
+                                   rtol=3e-5, atol=1e-4)
+    else:
+        assert got_r is None
+
+
+CHEB2 = [[0.9, 0.0], [0.4, 0.6]]          # (init, ·), (c_a, c_b)
+CHEB3 = [[0.9, 0.0], [0.4, 0.6], [0.2, 0.8]]
+JAC = [[0.8, 0.0]]
+
+
+class TestFusedApplyKernel:
+    @pytest.mark.parametrize("coefs", [CHEB2, CHEB3, JAC])
+    @pytest.mark.parametrize("x_zero,want_res", [
+        (True, True),     # V-cycle pre-smooth
+        (False, False),   # V-cycle post-smooth
+        (False, True),    # generic
+    ])
+    def test_parity_7pt(self, coefs, x_zero, want_res, rng):
+        if x_zero and len(coefs) == 1 and not want_res:
+            pytest.skip("no stencil application — never routed here")
+        _check(poisson_7pt(16, dtype=np.float32), coefs, x_zero,
+               want_res, rng)
+
+    def test_parity_27pt_multiblock(self, rng):
+        # 27-offset stencil at 16³ (R=32): lane shifts {1,127}, several
+        # window blocks, both clamped edges
+        _check(anisotropic_27pt(16, angle=0.5, dtype=np.float32),
+               CHEB2, False, False, rng)
+
+    def test_parity_x_zero_skips_x_stream(self, rng):
+        # garbage x must not affect the x_zero result (the kernel never
+        # reads it)
+        a = poisson_7pt(16, dtype=np.float32)
+        d_op = from_csr_dia(a)
+        n = d_op.n
+        b = jnp.asarray(rng.random(n).astype(np.float32))
+        s = jnp.asarray((0.1 + rng.random(n)).astype(np.float32))
+        coefs = jnp.asarray(CHEB2, jnp.float32)
+        x_gar = jnp.asarray(rng.random(n).astype(np.float32))
+        got1, _ = dia_smooth_apply_fast(d_op, jnp.zeros(n, jnp.float32),
+                                        b, s, coefs, True, True,
+                                        interpret=True)
+        got2, _ = dia_smooth_apply_fast(d_op, x_gar, b, s, coefs, True,
+                                        True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(got2))
+
+
+class TestSolveParity:
+    @pytest.mark.parametrize("smoother", ["chebyshev", "jacobi",
+                                          "l1jacobi"])
+    def test_structured_solve_unchanged(self, smoother, rng):
+        """The rewired smooth_rx (fused-apply dispatch) keeps the CPU
+        solve identical in iterations and solution."""
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+        from amg_ann_tpu.solvers import amg_solve
+
+        n = 16
+        a = poisson_7pt(n, dtype=np.float32)
+        b = a.matvec(rng.random(n**3)).astype(np.float32)
+        params = AMGParams(smoother=smoother, dtype=np.float32,
+                           max_coarse_size=64)
+        h = setup_structured(a, (n, n, n), params)
+        res = amg_solve(a, b, params, hierarchy=h, rtol=1e-6)
+        assert res.converged
+        x = np.asarray(res.x)
+        err = np.linalg.norm(a.matvec(x) - np.asarray(b))
+        assert err / np.linalg.norm(np.asarray(b)) < 1e-5
