@@ -20,9 +20,16 @@ a matvec plus a chain of elementwise ops.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .ops import op_cheb_sweep, op_matvec, op_smooth_apply, op_smooth_step
+
+# AMG_FUSED_APPLY=0 reverts smooth_rx to the separate matvec + sweep
+# dispatch (no-code-edit lever if the whole-application kernel fails
+# Mosaic compile on new hardware; bench.py auto-falls-back through it).
+FUSED_APPLY = os.environ.get("AMG_FUSED_APPLY", "1") != "0"
 
 
 def _coeffs(lev, params):
@@ -85,7 +92,7 @@ def smooth_rx(lev, x, b, params, r=None, want_residual=False,
     op_smooth_apply (one Pallas launch on TPU DIA levels). The known-r,
     x ≠ 0 case (2nd+ pre-smooth sweep) keeps the op_cheb_sweep path.
     """
-    if r is None or x_is_zero:
+    if FUSED_APPLY and (r is None or x_is_zero):
         coefs = smoother_coef_rows(lev, params)
         s = smoother_scale_vec(lev, params)
         x2, r2 = op_smooth_apply(lev.a, x, b, s, coefs,
@@ -96,6 +103,8 @@ def smooth_rx(lev, x, b, params, r=None, want_residual=False,
         return _chebyshev_rx(lev, x, b, params, r, want_residual)
 
     s, scale = _coeffs(lev, params)
+    if r is None:
+        r = b - op_matvec(lev.a, x)
     d = scale * (s * r)
     if want_residual:
         x, r, _ = op_smooth_step(lev.a, x, r, d, s, 0.0, 0.0)
