@@ -22,8 +22,49 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .boxmg import (DIRS, K_CENTER, _DJ_TABLE1, _DJ_TABLE2, _geo_masks,
-                    dir_index)
+from .boxmg import (DIRS, K_CENTER, _DJ_TABLE1, _DJ_TABLE2, dir_index)
+
+
+def _geo_axis_tables(shape, strides):
+    """Per-axis factors of boxmg._geo_masks as tiny (3, n) host tables:
+    geo[k] = gx[dx+1] ⊗ gy[dy+1] ⊗ gz[dz+1]. Kept separable so jitted
+    consumers embed O(n) constants — a materialized (27, nx, ny, nz)
+    literal is ~2 GB at 257³ and overflows the remote-compile transport
+    (HTTP 413 through the axon tunnel)."""
+    tables = []
+    for n, st in zip(shape, strides):
+        i = np.arange(n)
+        ax = np.empty((3, n), dtype=bool)
+        for j, d in enumerate((-1, 0, 1)):
+            t = i + d
+            ax[j] = (((t % 2) == 1) & (t >= 0) & (t < n)) if st == 2 \
+                else np.full(n, d == 0)
+        tables.append(ax)
+    return tables
+
+
+def _geo_masks_dev(shape, strides):
+    """(27, nx, ny, nz) device bool — on-device outer product of the
+    per-axis tables; same truth table as boxmg._geo_masks."""
+    gx, gy, gz = (jnp.asarray(t) for t in _geo_axis_tables(shape, strides))
+    ix = np.array([d[0] + 1 for d in DIRS])
+    iy = np.array([d[1] + 1 for d in DIRS])
+    iz = np.array([d[2] + 1 for d in DIRS])
+    return (gx[ix][:, :, None, None] & gy[iy][:, None, :, None]
+            & gz[iz][:, None, None, :])
+
+
+def _parity_vectors(shape, strides, parity: int):
+    """Per-axis coordinate-parity tests as device vectors (stride-1 axes:
+    even → all-False, odd → all-True, matching the host path)."""
+    out = []
+    for n, st in zip(shape, strides):
+        if st == 2:
+            v = (np.arange(n) % 2) == parity
+        else:
+            v = (np.zeros if parity == 0 else np.ones)(n, dtype=bool)
+        out.append(jnp.asarray(v))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "mrs"))
@@ -52,7 +93,7 @@ def interp_weights_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
     weak_row = jnp.abs(row_sum) > dt.type(mrs) * jnp.abs(diag) \
         if mrs < 1.0 else jnp.zeros(shape, dtype=bool)
 
-    geo = jnp.asarray(_geo_masks(shape, strides))
+    geo = _geo_masks_dev(shape, strides)
 
     use = geo & strong
     has_strong_geo = use.any(axis=0)
@@ -74,23 +115,22 @@ def interp_weights_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
     w = jnp.where(diag_eff[None] != 0,
                   w / jnp.where(diag_eff == 0, 1, diag_eff)[None], 0.0)
 
-    # trilinear fallback for structurally-uncoupled points (static masks)
-    geo_np = _geo_masks(shape, strides)
-    n_geo = geo_np.sum(axis=0)
-    k_even = sum((((np.arange(n) % 2) == 0) if st == 2
-                  else np.zeros(n, dtype=bool)).reshape(
-        [-1 if ax == i else 1 for i in range(3)]).astype(np.int64)
-        for ax, (n, st) in enumerate(zip(shape, strides)))
-    tri = jnp.asarray(
-        np.where(geo_np, (0.5 ** k_even)[None], 0.0).astype(s.dtype))
-    w = jnp.where((~geo_coupled & jnp.asarray(n_geo > 0))[None], tri, w)
+    # trilinear fallback for structurally-uncoupled points. All masks are
+    # separable per-axis and built ON DEVICE — full-grid numpy literals
+    # would be embedded in the HLO (gigabytes at 256³, see _geo_axis_tables)
+    ev = _parity_vectors(shape, strides, 0)
+    k_even = (ev[0].astype(jnp.int32)[:, None, None]
+              + ev[1].astype(jnp.int32)[None, :, None]
+              + ev[2].astype(jnp.int32)[None, None, :])
+    tri = jnp.where(geo, (dt.type(0.5) ** k_even.astype(dt))[None],
+                    dt.type(0.0))
+    w = jnp.where((~geo_coupled & geo.any(axis=0))[None], tri, w)
     w = jnp.where((geo_coupled & ~has_strong_geo)[None], 0.0, w)
     w = jnp.where(weak_row[None], 0.0, w)
 
-    odd = [((np.arange(n) % 2) == 1) if st == 2 else np.ones(n, dtype=bool)
-           for n, st in zip(shape, strides)]
-    c_mask = jnp.asarray(odd[0][:, None, None] & odd[1][None, :, None]
-                         & odd[2][None, None, :])
+    odd = _parity_vectors(shape, strides, 1)
+    c_mask = (odd[0][:, None, None] & odd[1][None, :, None]
+              & odd[2][None, None, :])
     w = jnp.where(c_mask[None], 0.0, w)
     w = w.at[K_CENTER].set(jnp.where(c_mask, dt.type(1.0), w[K_CENTER]))
     return w

@@ -201,6 +201,19 @@ def _ingrid_masks(shape):
     return masks
 
 
+def _ingrid_axis_tables(shape):
+    """Per-axis factors of _ingrid_masks: ax[d+1][i] = (0 ≤ i+d < n).
+    Separable so jitted consumers embed three (3, n) constants instead of
+    a full (27, nx, ny, nz) literal — that literal is ~1.8 GB at 257³ and
+    overflows the remote-compile transport (HTTP 413)."""
+    tables = []
+    for nax in shape:
+        i = np.arange(nax)
+        tables.append(np.stack([(i + d >= 0) & (i + d < nax)
+                                for d in (-1, 0, 1)]))
+    return tables
+
+
 def _shift_flat(v, o: int):
     """shift(v, o)[i] = v[i − o] (zeros shifted in; nothing wraps)."""
     if o > 0:
@@ -228,12 +241,20 @@ def transfer_dia(w, fine_shape, strides=(2, 2, 2)):
 
     nx, ny, nz = fine_shape
     n = nx * ny * nz
-    masks = _ingrid_masks(fine_shape)
+    dirs = _dirs27()
+    ax_t = [jnp.asarray(t) for t in _ingrid_axis_tables(fine_shape)]
+
+    def mask_k(k):
+        dx, dy, dz = dirs[k]
+        return (ax_t[0][dx + 1][:, None, None]
+                & ax_t[1][dy + 1][None, :, None]
+                & ax_t[2][dz + 1][None, None, :]).astype(w.dtype)
+
     r = padded_rows(n, 128)
     npad = r * 128 - n
 
     flat_off = {}
-    for k, (dx, dy, dz) in enumerate(_dirs27()):
+    for k, (dx, dy, dz) in enumerate(dirs):
         o = (dx * ny + dy) * nz + dz
         flat_off.setdefault(o, []).append(k)
     offs = sorted(flat_off)
@@ -242,7 +263,7 @@ def transfer_dia(w, fine_shape, strides=(2, 2, 2)):
     for o in offs:
         band = jnp.zeros((n,), dtype=w.dtype)
         for k in flat_off[o]:
-            band = band + (w[k] * masks[k]).reshape(-1)
+            band = band + (w[k] * mask_k(k)).reshape(-1)
         p_rows.append(jnp.pad(band, (0, npad)) if npad else band)
         rb = _shift_flat(band, o)
         r_rows.append(jnp.pad(rb, (0, npad)) if npad else rb)
