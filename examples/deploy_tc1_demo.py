@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # classical/ELL path; CPU by default, DEPLOY_PLATFORM=axon for TPU
+    jax.config.update("jax_platforms",
+                      os.environ.get("DEPLOY_PLATFORM", "cpu"))
 
     from amg_ann_tpu.amg.hierarchy import AMGParams
     from amg_ann_tpu.ann.checkpoint import load_model
