@@ -169,14 +169,17 @@ def dia_smooth_step_fast(a: DIA, x, r, d, s, c_a, c_b,
     interpret=True to exercise the kernel logic on CPU)."""
     from . import pallas_spmv as _ps
     from .pallas_spmv import (
-        LANES, dia_smooth_step_pallas, halo_rows,
+        LANES, dia_smooth_step_pallas, halo_rows, smooth_step_block_rows,
     )
 
     rr = a.data.shape[1]
     rc = rr * LANES
     h = halo_rows(a.offsets)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if a.cols != LANES or 3 * h > rr or not (on_tpu or interpret):
+    feasible = (a.cols == LANES and
+                smooth_step_block_rows(a.data.shape[0], rr,
+                                       a.offsets) is not None)
+    if not feasible or not (on_tpu or interpret):
         t = dia_spmv(a, d)
         x2 = x + d
         r2 = r - t
@@ -207,7 +210,7 @@ def dia_cheb_sweep_fast(a: DIA, x, r, d, s, coefs, interpret: bool = False):
     sweep window or off-TPU (interpret=True exercises the kernel on CPU).
     """
     from .pallas_spmv import (
-        LANES, dia_cheb_sweep_pallas, halo_rows,
+        LANES, cheb_sweep_block_rows, dia_cheb_sweep_pallas, halo_rows,
     )
 
     steps = int(coefs.shape[0])
@@ -215,9 +218,19 @@ def dia_cheb_sweep_fast(a: DIA, x, r, d, s, coefs, interpret: bool = False):
     rc = rr * LANES
     h = halo_rows(a.offsets)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    # need at least one valid block: B + 2·steps·h ≤ R with B ≥ 8
-    if (a.cols != LANES or 8 + 2 * steps * h > rr
-            or not (on_tpu or interpret)):
+    feasible = (a.cols == LANES and
+                cheb_sweep_block_rows(a.data.shape[0], rr, a.offsets,
+                                      steps) is not None)
+    if not feasible or not (on_tpu or interpret):
+        if (on_tpu or interpret) and a.cols == LANES and steps > 1:
+            # too many fused steps for the vmem window — bisect the
+            # sweep into smaller fused launches (each half recursively
+            # finds its own feasible chunk size)
+            half = steps // 2
+            x, r, d = dia_cheb_sweep_fast(a, x, r, d, s, coefs[:half],
+                                          interpret=interpret)
+            return dia_cheb_sweep_fast(a, x, r, d, s, coefs[half:],
+                                       interpret=interpret)
         for j in range(steps):
             t = dia_spmv(a, d)
             x = x + d
@@ -249,7 +262,9 @@ def dia_smooth_apply_fast(a: DIA, x, b, s, coefs, x_zero: bool,
 
     Returns (x', r' or None). Falls back to matvec + dia_cheb_sweep_fast
     when the matrix is too small for the window or off-TPU."""
-    from .pallas_spmv import LANES, dia_smooth_apply_pallas, halo_rows
+    from .pallas_spmv import (
+        LANES, dia_smooth_apply_pallas, halo_rows, smooth_apply_block_rows,
+    )
 
     n_rows = int(coefs.shape[0])
     n_apps = (0 if x_zero else 1) + (n_rows - 1) + (1 if want_res else 0)
@@ -257,15 +272,23 @@ def dia_smooth_apply_fast(a: DIA, x, b, s, coefs, x_zero: bool,
     rc = rr * LANES
     h = halo_rows(a.offsets)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if (a.cols != LANES or n_apps < 1 or 8 + 2 * n_apps * h > rr
-            or not (on_tpu or interpret)):
+    feasible = (a.cols == LANES and n_apps >= 1 and
+                smooth_apply_block_rows(a.data.shape[0], rr, a.offsets,
+                                        n_apps, x_zero,
+                                        want_res) is not None)
+    if not feasible or not (on_tpu or interpret):
         r = b if x_zero else b - dia_spmv(a, x)
         d = coefs[0, 0] * (s * r)
-        for j in range(1, n_rows):
-            t = dia_spmv(a, d)
-            x = x + d
-            r = r - t
-            d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+        if n_rows > 1:
+            if x_zero:
+                x = jnp.zeros_like(b)
+            # recurrence steps still ride the fused sweep kernel (which
+            # itself bisects into vmem-feasible chunks)
+            x, r, d = dia_cheb_sweep_fast(a, x, r, d, s, coefs[1:],
+                                          interpret=interpret)
+        else:
+            if x_zero:
+                x = jnp.zeros_like(b)
         if want_res:
             return x + d, r - dia_spmv(a, d)
         return x + d, None

@@ -56,6 +56,80 @@ def halo_rows(offsets) -> int:
     return max(rs) if rs else 1
 
 
+# ---- fused-window vmem accounting -------------------------------------
+# Each fused kernel (smooth_step / cheb_sweep / smooth_apply) holds
+# (k + n_vec) scoped window copies of win = B + 4·big_h rows plus
+# Mosaic's double-buffered BlockSpec operand/output blocks. Mosaic
+# enforces the per-kernel vmem_limit_bytes we declare, so the declared
+# limit must DOMINATE true usage: measured 22.87M actual vs ~19.0M
+# estimated at 129³/k=27/B=128 (bench/tpu_chain_r3.log — Mosaic stack
+# temporaries add ~20%), hence the 1.4× margin. The hard cap stays well
+# under v5e's 128 MiB VMEM so XLA retains working space.
+_VMEM_HARD_CAP = 64 * 1024 * 1024
+_NEED_CAP = 44 * 1024 * 1024       # 1.4·44M + 2M ≤ _VMEM_HARD_CAP
+
+
+def _vmem_limit(need: int) -> int:
+    return min(int(need * 1.4) + 2 * 1024 * 1024, _VMEM_HARD_CAP)
+
+
+def _pick_block_rows(r, big_h, need_fn, target_bytes, k):
+    """Largest power-of-2 divisor of r with (a) clamp window B + 2·big_h
+    ≤ R, (b) need_fn(B) ≤ the scoped-vmem cap, starting from an A-band
+    VMEM target (big blocks amortize per-program DMA + dispatch). None =
+    infeasible at every block size — callers must fall back."""
+    target = max(8, min(r, target_bytes // (max(k, 3) * LANES * 4)))
+    b = 1
+    while (b * 2 <= target) and (r % (b * 2) == 0):
+        b *= 2
+    while b > 1 and (b + 2 * big_h > r or need_fn(b) > _NEED_CAP):
+        b //= 2
+    if b + 2 * big_h > r or need_fn(b) > _NEED_CAP:
+        return None
+    return b
+
+
+def _apply_need(k, n_vec, n_out, b, big_h):
+    return ((k + n_vec) * (b + 4 * big_h) + 2 * n_out * b) * LANES * 4
+
+
+def smooth_apply_block_rows(k, r, offsets, n_apps, x_zero, want_res):
+    """Block choice for dia_smooth_apply_pallas; None = infeasible
+    (window larger than R, or scoped vmem over budget at every B) —
+    dia.dia_smooth_apply_fast falls back to per-step kernels."""
+    big_h = n_apps * halo_rows(offsets)
+    n_vec = 3 if x_zero else 4
+    n_out = 2 if want_res else 1
+    return _pick_block_rows(
+        r, big_h, lambda b: _apply_need(k, n_vec, n_out, b, big_h),
+        3 * 1024 * 1024, k)
+
+
+def _cheb_need(k, b, big_h):
+    return ((k + 3) * (b + 4 * big_h) + 8 * b) * LANES * 4
+
+
+def cheb_sweep_block_rows(k, r, offsets, steps):
+    """Block choice for dia_cheb_sweep_pallas; None = infeasible."""
+    big_h = steps * halo_rows(offsets)
+    return _pick_block_rows(r, big_h,
+                            lambda b: _cheb_need(k, b, big_h),
+                            3 * 1024 * 1024, k)
+
+
+def _step_need(k, n_shift, b, h):
+    return ((2 + max(n_shift, 1)) * (b + 4 * h)
+            + 2 * (k + 6) * b) * LANES * 4
+
+
+def smooth_step_block_rows(k, r, offsets):
+    """Block choice for dia_smooth_step_pallas; None = infeasible."""
+    h = halo_rows(offsets)
+    ns = len(_lane_shifts(offsets))
+    return _pick_block_rows(r, h, lambda b: _step_need(k, ns, b, h),
+                            4 * 1024 * 1024, k)
+
+
 def _dia_kernel(offsets, block_rows, halo, x_hbm, d_ref, o_ref, sem):
     i = pl.program_id(0)
 
@@ -318,13 +392,10 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
         db = PIPELINE_DB
     h = halo_rows(offsets)
     if block_rows is None:
-        vmem_budget = 4 * 1024 * 1024
-        target = max(8, min(r, vmem_budget // (max(k, 1) * LANES * 4)))
-        block_rows = 1
-        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
-            block_rows *= 2
-        while block_rows > 1 and block_rows + 2 * h > r:
-            block_rows //= 2
+        block_rows = smooth_step_block_rows(k, r, offsets)
+        assert block_rows is not None, (
+            "fused step window infeasible — callers must fall back "
+            "(dia.dia_smooth_step_fast)")
     assert r % block_rows == 0, (r, block_rows)
     assert block_rows + 2 * h <= r, "matrix too small for the fused kernel"
     grid = r // block_rows
@@ -361,9 +432,8 @@ def dia_smooth_step_pallas(data, x2d, r2d, d2d, s2d, coef, offsets,
         out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=((2 + max(n_shift, 1)) * win
-                              + 2 * (k + 8) * block_rows) * LANES * 4
-            + 4 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(
+                _step_need(k, n_shift, block_rows, h)),
         ) if db else None,
         cost_estimate=pl.CostEstimate(
             flops=(2 * k + 5) * r * LANES,
@@ -481,17 +551,10 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
     h = halo_rows(offsets)
     big_h = steps * h
     if block_rows is None:
-        # window scratch is (k+3)·win copies + double-buffered in/out
-        # blocks; 3 MB of A-band window keeps the total comfortably under
-        # the ~36 MB scoped-vmem ceiling (measured: 1024-row blocks at
-        # k=7 overflow it)
-        vmem_budget = 3 * 1024 * 1024
-        target = max(8, min(r, vmem_budget // (max(k, 3) * LANES * 4)))
-        block_rows = 1
-        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
-            block_rows *= 2
-        while block_rows > 1 and block_rows + 2 * big_h > r:
-            block_rows //= 2
+        block_rows = cheb_sweep_block_rows(k, r, offsets, steps)
+        assert block_rows is not None, (
+            "fused sweep window infeasible — callers must fall back "
+            "(dia.dia_cheb_sweep_fast)")
     assert r % block_rows == 0, (r, block_rows)
     assert block_rows + 2 * big_h <= r, (
         "matrix too small for the fused sweep window")
@@ -519,9 +582,8 @@ def dia_cheb_sweep_pallas(data, x2d, r2d, d2d, s2d, coefs, offsets,
         out_shape=(jax.ShapeDtypeStruct((r, LANES), data.dtype),) * 3,
         scratch_shapes=[pltpu.SemaphoreType.DMA(())] * 4,
         compiler_params=pltpu.CompilerParams(
-            # generous: scratch + Mosaic's double-buffered block operands
-            vmem_limit_bytes=2 * ((k + 3) * win + 10 * block_rows)
-            * LANES * 4 + 4 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(
+                _cheb_need(k, block_rows, big_h)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=steps * (2 * k + 5) * r * LANES,
@@ -678,13 +740,11 @@ def dia_smooth_apply_pallas(data, x2d, b2d, s2d, coefs, offsets,
     h = halo_rows(offsets)
     big_h = n_apps * h
     if block_rows is None:
-        vmem_budget = 3 * 1024 * 1024
-        target = max(8, min(r, vmem_budget // (max(k, 3) * LANES * 4)))
-        block_rows = 1
-        while (block_rows * 2 <= target) and (r % (block_rows * 2) == 0):
-            block_rows *= 2
-        while block_rows > 1 and block_rows + 2 * big_h > r:
-            block_rows //= 2
+        block_rows = smooth_apply_block_rows(k, r, offsets, n_apps,
+                                             x_zero, want_res)
+        assert block_rows is not None, (
+            "fused apply window infeasible — callers must fall back "
+            "(dia.dia_smooth_apply_fast)")
     assert r % block_rows == 0, (r, block_rows)
     assert block_rows + 2 * big_h <= r, (
         "matrix too small for the fused apply window")
@@ -711,8 +771,9 @@ def dia_smooth_apply_pallas(data, x2d, b2d, s2d, coefs, offsets,
         else jax.ShapeDtypeStruct((r, LANES), data.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())] * (n_vec_dma + 1),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=((k + 4) * win + 8 * block_rows)
-            * LANES * 4 + 4 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(
+                _apply_need(k, 3 if x_zero else 4, n_out, block_rows,
+                            big_h)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=n_apps * (2 * k + 5) * r * LANES,

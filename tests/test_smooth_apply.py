@@ -123,3 +123,55 @@ class TestSolveParity:
         x = np.asarray(res.x)
         err = np.linalg.norm(a.matvec(x) - np.asarray(b))
         assert err / np.linalg.norm(np.asarray(b)) < 1e-5
+
+
+class TestVmemFeasibility:
+    """Scoped-vmem accounting for the fused-window kernels
+    (bench/tpu_chain_r3.log: 129³ exceeded the declared limit by 336K;
+    256³ windows can exceed any block size). Pure host math — pins the
+    chooser decisions at bench-critical geometries."""
+
+    def _offsets_3d(self, nx):
+        # 27-point structured stencil offsets (matches boxmg DIA layout)
+        return tuple(sorted(dz * nx * nx + dy * nx + dx
+                            for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                            for dx in (-1, 0, 1)))
+
+    def test_apply_129cubed_feasible_and_limit_dominates(self):
+        from amg_ann_tpu.sparse import pallas_spmv as ps
+
+        offs = self._offsets_3d(129)
+        r = 16896  # padded_rows(129³ // 128)
+        b = ps.smooth_apply_block_rows(27, r, offs, n_apps=2,
+                                       x_zero=False, want_res=False)
+        assert b is not None and r % b == 0
+        need = ps._apply_need(27, 4, 1, b, 2 * ps.halo_rows(offs))
+        # the declared limit must dominate the measured 22.87M actual
+        # when b == 128 (the shape that failed in round 2)
+        if b == 128:
+            assert ps._vmem_limit(need) > int(22.87 * 2**20)
+        assert ps._vmem_limit(need) <= ps._VMEM_HARD_CAP
+
+    def test_apply_256cubed_infeasible_but_sweep_chunks_fit(self):
+        from amg_ann_tpu.sparse import pallas_spmv as ps
+
+        offs = self._offsets_3d(256)
+        r = 131072  # 256³ // 128 (already a multiple of 512)
+        # whole application (2+ stencil apps) cannot fit scoped vmem
+        assert ps.smooth_apply_block_rows(27, r, offs, n_apps=3,
+                                          x_zero=True,
+                                          want_res=True) is None
+        # ...but single fused sweep steps still do (bisected fallback)
+        assert ps.cheb_sweep_block_rows(27, r, offs, steps=1) is not None
+
+    def test_bench_shapes_unchanged(self):
+        from amg_ann_tpu.sparse import pallas_spmv as ps
+
+        # 64³ / 128³ benchmarked kernel shapes must not drift (warm
+        # .jax_cache depends on them)
+        offs64, offs128 = self._offsets_3d(64), self._offsets_3d(128)
+        assert ps.smooth_apply_block_rows(
+            27, 2048, offs64, n_apps=2, x_zero=False, want_res=False) == 128
+        assert ps.smooth_apply_block_rows(
+            27, 16384, offs128, n_apps=2, x_zero=False,
+            want_res=False) == 128
