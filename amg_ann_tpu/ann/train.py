@@ -13,6 +13,7 @@ retrace.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any
 
@@ -177,18 +178,24 @@ def fit(model: ThetaCostModel, view_data, param_data, target_data, *,
                      best_loss=best_loss)
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_apply(model: ThetaCostModel):
+    # cached per model CONFIG (flax Modules are frozen/hashable): a fresh
+    # jax.jit closure per predict() call would discard the compiled
+    # executable every time — deployment-fatal on TPU, where each
+    # recompile costs minutes through the tunnel
+    return jax.jit(lambda p, v, pv: model.apply({"params": p}, v, pv))
+
+
 def predict(model: ThetaCostModel, params, view_data, param_data,
             batch_size: int = 4096):
     """Batched inference; returns (N, 1|2) float32."""
     view_data = np.asarray(view_data, dtype=np.float32)
     param_data = np.asarray(param_data, dtype=np.float32)
 
-    @jax.jit
-    def step(v, p):
-        return model.apply({"params": params}, v, p)
-
+    step = _jit_apply(model)
     outs = []
     for s in range(0, view_data.shape[0], batch_size):
-        outs.append(np.asarray(step(view_data[s:s + batch_size],
+        outs.append(np.asarray(step(params, view_data[s:s + batch_size],
                                     param_data[s:s + batch_size])))
     return np.concatenate(outs, axis=0)

@@ -21,7 +21,7 @@ from ..amg.hierarchy import AMGParams
 from ..ann.normalize import stack_channels
 from ..pipeline.evaluate import pred_theta
 from ..sparse.csr import CSR
-from ..view.pooling import make_view
+from ..view.pooling import View, make_view
 from .amg_solver import SolveResult, amg_solve
 from .refine import IRResult, ir_solve
 
@@ -30,18 +30,33 @@ def predict_theta_for_matrix(a: CSR, model, params, *, view_size: int,
                              view_type: str = "sum+max+c",
                              norm_mode: str = "pure_log",
                              scalar_inputs: dict | None = None,
-                             search_config: dict | None = None):
+                             search_config: dict | None = None,
+                             stencil=None, grid_shape=None):
     """(θ*, predicted cost, σ̂) for a matrix via the trained θ-cost model.
 
     scalar_inputs: the model's non-θ inputs; defaults to the shipped
     configuration {log2ndof, theta, degree-or-mode...} — pass exactly what
     the model was trained with, θ entry included (its value is swept).
+
+    stencil + grid_shape: deployment fast path — pool the view on device
+    from the structured path's resident (27, n) stencil instead of
+    traversing the host CSR (tens of seconds at 129³; see
+    view/pooling.make_view_stencil). `a` may then be None.
     """
-    view, _ = make_view(a, view_size)
+    if stencil is not None:
+        from ..view.pooling import make_view_stencil
+
+        assert grid_shape is not None, "stencil path needs grid_shape"
+        view = make_view_stencil(stencil, grid_shape, view_size)
+        view = View(*[np.asarray(c) for c in view])
+    else:
+        view, _ = make_view(a, view_size)
     img = stack_channels(view.sum, view.max_pp, view.max_np, view.count,
                          view_type, norm_mode).astype(np.float32)
     if scalar_inputs is None:
-        scalar_inputs = {"log2ndof": float(np.log2(max(a.nrows, 2))),
+        ndof = (a.nrows if a is not None
+                else int(np.prod(grid_shape)))
+        scalar_inputs = {"log2ndof": float(np.log2(max(ndof, 2))),
                          "theta": 0.5, "degree": 1.0}
     return pred_theta(model, params, img, scalar_inputs, search_config)
 

@@ -122,6 +122,74 @@ def make_view_device(a: ELL, row_nnz, view_size: int) -> View:
     return View(s, c, pp, np_)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_shape", "view_size",
+                                             "structural"))
+def _make_view_stencil(stencil, grid_shape, view_size: int,
+                       structural: bool = True):
+    """Pooling straight from a resident (27, nx·ny·nz) stencil.
+
+    Per slot k the matrix entries are (i, i + off_k, s_k[i]); since
+    bin_index is monotone, the flat bin ids br·vs + bc are SORTED along
+    i for each slot — every channel reduces with sorted segment ops (no
+    scatter), so the whole view costs 27 bandwidth-bound passes on TPU.
+    Off-grid (slot, i) pairs are masked geometrically, which equals the
+    stored 27-point structural pattern of the assembled matrices
+    (tests/test_view.py pins equality vs make_view_host)."""
+    nx, ny, nz = grid_shape
+    n = nx * ny * nz
+    nb = view_size * view_size
+    i = jnp.arange(n, dtype=jnp.int32)
+    x = i // jnp.int32(ny * nz)
+    y = (i // jnp.int32(nz)) % jnp.int32(ny)
+    z = i % jnp.int32(nz)
+    br = bin_index(i, n, view_size).astype(jnp.int32)
+
+    dt = stencil.dtype
+    v_sum = jnp.zeros(nb, dtype=dt)
+    v_cnt = jnp.zeros(nb, dtype=jnp.int32)
+    v_pp = jnp.zeros(nb, dtype=dt)
+    v_np = jnp.zeros(nb, dtype=dt)
+    for k in range(27):
+        dx, dy, dz = k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1
+        off = (dx * ny + dy) * nz + dz
+        valid = ((x + dx >= 0) & (x + dx < nx) & (y + dy >= 0)
+                 & (y + dy < ny) & (z + dz >= 0) & (z + dz < nz))
+        if not structural:
+            # matrices that drop zero taps (e.g. fem.anisotropic_27pt)
+            # store only nonzero entries — count those
+            valid = valid & (stencil[k] != 0)
+        j = jnp.clip(i + jnp.int32(off), 0, n - 1)
+        bc = bin_index(j, n, view_size).astype(jnp.int32)
+        flat = br * jnp.int32(view_size) + bc
+        vals = jnp.where(valid, stencil[k], jnp.zeros((), dtype=dt))
+        seg = functools.partial(jax.ops.segment_sum, num_segments=nb,
+                                indices_are_sorted=True)
+        v_sum = v_sum + seg(vals, flat)
+        v_cnt = v_cnt + seg(valid.astype(jnp.int32), flat)
+        mx = functools.partial(jax.ops.segment_max, num_segments=nb,
+                               indices_are_sorted=True)
+        v_pp = jnp.maximum(v_pp, mx(jnp.maximum(vals, 0.0), flat))
+        v_np = jnp.maximum(v_np, mx(jnp.maximum(-vals, 0.0), flat))
+    shape = (view_size, view_size)
+    return (v_sum.reshape(shape), v_cnt.reshape(shape),
+            v_pp.reshape(shape), v_np.reshape(shape))
+
+
+def make_view_stencil(stencil, grid_shape, view_size: int,
+                      structural: bool = True) -> View:
+    """Device pooling from the structured path's resident stencil — the
+    deployment fast path (no host CSR traversal; at 129³ the host
+    ufunc.at pooling costs tens of seconds, this costs milliseconds).
+    stencil: (27, nx, ny, nz) or (27, nx·ny·nz), csr_to_stencil layout.
+    structural=True counts the full geometric 27-pt pattern (matches the
+    stored pattern of the FEM assemblies, incl. stored zeros); False
+    counts only nonzero taps (matrices that drop zero entries)."""
+    nx, ny, nz = grid_shape
+    s = jnp.asarray(stencil).reshape(27, nx * ny * nz)
+    return View(*_make_view_stencil(s, (nx, ny, nz), view_size,
+                                    structural))
+
+
 def make_view(a: CSR, view_size: int, device: bool = False):
     """Pooling entry point. Returns (View, t_view_microseconds) — the
     reference times this operator into the CSV (view_maker.h:35,72-73)."""

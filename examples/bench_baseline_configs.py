@@ -69,17 +69,26 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
     a, b, x0 = p.build()
     gs = (p.n_nodes_1d,) * 3
 
-    t0 = time.perf_counter()
-    theta_star, _, sigma = predict_theta_for_matrix(
-        a, model, params_nn, view_size=spec["view_size"],
-        scalar_inputs={"log2ndof": float(np.log2(a.nrows)),
-                       "theta": 0.5, "degree": 1.0})
-    theta_star = float(np.clip(theta_star, 0.05, 0.95))
-    t_predict = time.perf_counter() - t0
-
     s0 = csr_to_stencil(a, gs).astype(np.float32)
     a_slots = tuple(k for k in range(27) if np.any(s0[k]))
     stencil = jnp.asarray(s0)
+
+    # deployment fast path: device view from the resident stencil +
+    # cached-jit inference; cold includes the compiles, warm is the
+    # marginal per-problem cost a production deployment pays
+    scal = {"log2ndof": float(np.log2(a.nrows)), "theta": 0.5,
+            "degree": 1.0}
+    t0 = time.perf_counter()
+    theta_star, _, sigma = predict_theta_for_matrix(
+        None, model, params_nn, view_size=spec["view_size"],
+        scalar_inputs=scal, stencil=stencil, grid_shape=gs)
+    t_predict_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    theta_star, _, sigma = predict_theta_for_matrix(
+        None, model, params_nn, view_size=spec["view_size"],
+        scalar_inputs=scal, stencil=stencil, grid_shape=gs)
+    t_predict = time.perf_counter() - t0
+    theta_star = float(np.clip(theta_star, 0.05, 0.95))
 
     def t_of(theta: float, reps: int = 3) -> tuple:
         """(t_us, niters, converged) — SCALARS only: keeping hierarchies
@@ -115,6 +124,7 @@ def config2_ann_theta(out, models_path, n=128, pattern=8, mode=2,
     _emit(out, {"config": "128cube_ann_theta", "ndof": a.nrows,
                 "mode": mode, "theta_star": theta_star,
                 "sigma_hat": float(sigma), "t_predict_s": t_predict,
+                "t_predict_cold_s": t_predict_cold,
                 "t_default_s": t_default / 1e6, "t_ann_s": t_star / 1e6,
                 "t_min_s": t_min / 1e6, "theta_min": th_min,
                 "P": round(perf, 4), "P_MAX": round(perf_max, 4),

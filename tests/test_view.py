@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from amg_ann_tpu.fem import poisson_7pt
+from amg_ann_tpu.fem import anisotropic_27pt, poisson_7pt
 from amg_ann_tpu.sparse import CSR
 from amg_ann_tpu.view import make_view, make_view_device, make_view_host
 from amg_ann_tpu.view.pooling import bin_index
@@ -95,3 +95,46 @@ def test_poisson_view_shape_and_timing():
     assert view.stack().shape == (16, 16, 4)
     # Laplacian: every row sums ~0 in the interior => total sum is small
     assert view.count.sum() == a.nnz
+
+
+def test_stencil_view_matches_host_tc2():
+    """Deployment fast path: make_view_stencil (device, from the resident
+    27-slot stencil) must reproduce make_view_host on a real tc2 assembly
+    — including the count channel (geometric 27-pt validity == the stored
+    structural pattern of the Q1 assembly)."""
+    from amg_ann_tpu.amg.boxmg import csr_to_stencil
+    from amg_ann_tpu.fem.structured import StructuredDiffusion
+    from amg_ann_tpu.view.pooling import make_view_stencil
+
+    p = StructuredDiffusion(pattern_size=4, refinements=2, degree=1,
+                            mode=2, epsv=np.linspace(0, 4, 16))
+    a, _, _ = p.build()
+    gs = (p.n_nodes_1d,) * 3
+    s = csr_to_stencil(a, gs)
+    assert s is not None
+    for vs in (7, 16):
+        host = make_view_host(a, vs)
+        dev = make_view_stencil(s, gs, vs)
+        np.testing.assert_allclose(np.asarray(dev.sum), host.sum,
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(dev.count), host.count)
+        np.testing.assert_allclose(np.asarray(dev.max_pp), host.max_pp,
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dev.max_np), host.max_np,
+                                   rtol=1e-6, atol=1e-12)
+
+
+def test_stencil_view_anisotropic_27pt():
+    from amg_ann_tpu.amg.boxmg import csr_to_stencil
+    from amg_ann_tpu.view.pooling import make_view_stencil
+
+    a = anisotropic_27pt(9)
+    s = csr_to_stencil(a, (9, 9, 9))
+    host = make_view_host(a, 11)
+    dev = make_view_stencil(s, (9, 9, 9), 11, structural=False)
+    np.testing.assert_allclose(np.asarray(dev.sum), host.sum,
+                               rtol=1e-6, atol=1e-12)
+    # anisotropic_27pt drops zero taps -> structural=False count parity
+    np.testing.assert_array_equal(np.asarray(dev.count), host.count)
+    np.testing.assert_allclose(np.asarray(dev.max_pp), host.max_pp,
+                               rtol=1e-6, atol=1e-12)
