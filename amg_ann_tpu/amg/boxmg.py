@@ -278,6 +278,130 @@ def interp_weights(s: np.ndarray, theta: float, max_row_sum: float = 0.9,
     return w
 
 
+def _shift0(arr: np.ndarray, d) -> np.ndarray:
+    """out[i] = arr[i + d], zero where i + d walks off the grid."""
+    out = np.zeros_like(arr)
+    src = []
+    dst = []
+    for ax, dd in enumerate(d):
+        n = arr.shape[ax]
+        if dd >= 0:
+            src.append(slice(dd, n))
+            dst.append(slice(0, n - dd))
+        else:
+            src.append(slice(0, n + dd))
+            dst.append(slice(-dd, n))
+    out[tuple(dst)] = arr[tuple(src)]
+    return out
+
+
+def interp_weights_boxmg(s: np.ndarray, theta: float,
+                         max_row_sum: float = 0.9,
+                         strides=(2, 2, 2)) -> np.ndarray:
+    """θ-filtered BoxMG (Dendy) operator-induced prolongation weights.
+
+    Same output contract as interp_weights — (27, nx, ny, nz) with
+    W[k][i] = P[i, coarse(i + d_k)] — but the weights come from the
+    classical BoxMG approximate harmonic extension instead of
+    Ruge–Stüben direct interpolation, built class by class:
+
+      * face F points (1 even stride-2 coordinate) collapse the
+        (θ-filtered) 27-point row onto their axis and interpolate from
+        their 2 coarse line neighbors: w(±1) = −ŝ1(±1)/ŝ1(0);
+      * edge F points (2 even) collapse onto their plane; the in-plane
+        C couplings contribute directly and the in-plane face-F
+        couplings substitute their already-computed interpolants;
+      * center F points (3 even) substitute faces + edges, no collapse.
+
+    Every substitution lands on the geometric corner lattice, so the
+    3³-offset closure (and the all-DIA V-cycle) is preserved. The
+    strong-threshold enters exactly as in hypre's classical filtering:
+    couplings with measure < θ·row_max are LUMPED INTO THE DIAGONAL
+    before collapsing — at θ→0 this is textbook BoxMG (level-independent
+    convergence on Poisson), rising θ strips the interpolatory set and
+    genuinely costs iterations (the t(θ) signal the ANN learns).
+    Direct-interp counterpart kept as interp_weights (the round-2
+    baseline; AMGParams.structured_interp selects).
+    """
+    from itertools import combinations, product
+
+    shape = s.shape[1:]
+    dt = s.dtype
+    zero = dt.type(0.0)
+    diag = s[K_CENTER]
+
+    # hypre-style strength measure (same as interp_weights)
+    sign = np.where(diag > 0, dt.type(-1.0), dt.type(1.0))
+    meas = sign[None] * s
+    meas[K_CENTER] = zero
+    row_max = np.maximum(meas, zero).max(axis=0)
+    strong = (meas > 0) & (meas >= dt.type(theta) * row_max[None])
+    strong[K_CENTER] = False
+
+    # θ-filtered stencil: weak off-diagonals lumped into the center
+    shat = np.where(strong, s, zero)
+    offd = np.ones(27, dtype=bool)
+    offd[K_CENTER] = False
+    weak_sum = np.where(strong, zero, s)[offd].sum(axis=0)
+    shat[K_CENTER] = diag + weak_sum
+
+    # per-axis parity (stride-1 axes are never interpolation axes)
+    par = [((np.arange(n) % 2) == 0) if st == 2 else np.zeros(n, bool)
+           for n, st in zip(shape, strides)]
+
+    def axv(ax, v):
+        return v.reshape([-1 if i == ax else 1 for i in range(3)])
+
+    one = dt.type(1.0)
+    w = np.zeros_like(s)
+    c_mask = (axv(0, ~par[0]) & axv(1, ~par[1]) & axv(2, ~par[2]))
+    w[K_CENTER] = np.where(c_mask, one, zero)
+
+    axes2 = tuple(ax for ax in range(3) if strides[ax] == 2)
+    for r in (1, 2, 3):
+        for E in combinations(axes2, r):
+            m_e = np.ones(shape, dtype=bool)
+            for ax in range(3):
+                m_e = m_e & axv(ax, par[ax] if ax in E else ~par[ax])
+            if not m_e.any():
+                continue
+            # collapse over the non-E axes: sc[d|E] = Σ_{d complement}
+            sc = {}
+            for k, d in enumerate(DIRS):
+                if not np.any(shat[k]):
+                    continue
+                key = tuple(d[ax] if ax in E else 0 for ax in range(3))
+                acc = sc.setdefault(key, np.zeros(shape, dtype=dt))
+                acc += shat[k]
+            denom = sc.get((0, 0, 0), np.zeros(shape, dtype=dt))
+            num = np.zeros_like(s)
+            for dn, c in sc.items():
+                if dn == (0, 0, 0):
+                    continue
+                e_j = tuple(ax for ax in E if dn[ax] == 0)
+                if not e_j:
+                    num[dir_index(dn)] += -c            # direct C coupling
+                    continue
+                # substitute the class-E_j neighbor's interpolant
+                for signs in product((-1, 1), repeat=len(e_j)):
+                    dp = [0, 0, 0]
+                    for ax, sg in zip(e_j, signs):
+                        dp[ax] = sg
+                    tot = tuple(dn[ax] + dp[ax] for ax in range(3))
+                    num[dir_index(tot)] += -c * _shift0(
+                        w[dir_index(tuple(dp))], dn)
+            inv_d = np.where(denom != 0, one / np.where(denom == 0, one,
+                                                        denom), zero)
+            w = np.where(m_e[None], num * inv_d[None], w)
+
+    # max_row_sum rows: smoother-only (zero interpolation)
+    if max_row_sum < 1.0:
+        weak_row = np.abs(s.sum(axis=0)) > dt.type(max_row_sum) * \
+            np.abs(diag)
+        w = np.where((weak_row & ~c_mask)[None], zero, w)
+    return w
+
+
 # per-axis (s = d1+dA) → [(D, dJ)] with dJ = stride·D − s ∈ {-1, 0, 1}
 _DJ_TABLE2 = {-2: [(-1, 0)], -1: [(-1, -1), (0, 1)], 0: [(0, 0)],
               1: [(0, -1), (1, 1)], 2: [(1, 0)]}

@@ -38,7 +38,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..sparse.csr import CSR
-from .boxmg import (DIRS, K_CENTER, interp_weights, rap_stencil,
+from .boxmg import (DIRS, K_CENTER, interp_weights, interp_weights_boxmg,
+                    rap_stencil,
                     strides_from_couplings)
 from .hierarchy import AMGParams, HierarchyStats
 
@@ -265,8 +266,8 @@ def setup_structured_block_device(s0_dev, grid_shape, params: AMGParams,
     import jax as _jax
 
     from .boxmg import strides_from_couplings
-    from .boxmg_device import (interp_weights_dev, lam_power_dev,
-                               nnz_count_dev, rap_stencil_dev)
+    from .boxmg_device import (interp_weights_boxmg_dev, interp_weights_dev,
+                               lam_power_dev, nnz_count_dev, rap_stencil_dev)
     from .structured_mg import (BlockStructuredLevel, StructuredHierarchy,
                                 StructuredSetupResult)
     from .transfer import coarse_size
@@ -310,8 +311,11 @@ def setup_structured_block_device(s0_dev, grid_shape, params: AMGParams,
             if strides is None or 2 not in strides:
                 break
             s_l = stencils[-1]
-            ws = [interp_weights_dev(s_l[:, c, c], theta, strides=strides,
-                                     mrs=params.max_row_sum)
+            interp_dev = (interp_weights_boxmg_dev
+                          if params.structured_interp == "boxmg"
+                          else interp_weights_dev)
+            ws = [interp_dev(s_l[:, c, c], theta, strides=strides,
+                             mrs=params.max_row_sum)
                   for c in range(nb)]
             m = tuple(n // st for n, st in zip(shapes[-1], strides))
             s_c = jnp.stack([jnp.stack([
@@ -508,9 +512,12 @@ def setup_structured_block(a: CSR, grid_shape, params: AMGParams,
         strides = choose_strides_block(s_l, theta)
         if 2 not in strides:
             break
+        interp_host = (interp_weights_boxmg
+                       if params.structured_interp == "boxmg"
+                       else interp_weights)
         ws = np.stack([
-            interp_weights(np.ascontiguousarray(s_l[:, c, c]), theta,
-                           params.max_row_sum, strides)
+            interp_host(np.ascontiguousarray(s_l[:, c, c]), theta,
+                        params.max_row_sum, strides)
             for c in range(nb)])
         m = tuple(n // st for n, st in zip(shapes[-1], strides))
         s_c = np.zeros((27, nb, nb) + m, dtype=dtype)

@@ -136,6 +136,102 @@ def interp_weights_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
     return w
 
 
+def _shift0_dev(arr, d):
+    """out[i] = arr[i + d], zero-filled (jnp twin of boxmg._shift0)."""
+    pads, slices = [], []
+    for ax, dd in enumerate(d):
+        n = arr.shape[ax]
+        if dd >= 0:
+            pads.append((0, dd))
+            slices.append(slice(dd, dd + n))
+        else:
+            pads.append((-dd, 0))
+            slices.append(slice(0, n))
+    return jnp.pad(arr, pads)[tuple(slices)]
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "mrs"))
+def interp_weights_boxmg_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
+    """jnp twin of boxmg.interp_weights_boxmg (θ traced).
+
+    Same class-sequential construction (face → edge → center); all masks
+    are separable per-axis outer products built on device (full-grid
+    literals would overflow the remote-compile transport at 256³ — see
+    _geo_axis_tables)."""
+    from itertools import combinations, product
+
+    shape = s.shape[1:]
+    dt = s.dtype
+    diag = s[K_CENTER]
+
+    sign = jnp.where(diag > 0, dt.type(-1.0), dt.type(1.0))
+    meas = (sign[None] * s).at[K_CENTER].set(0.0)
+    row_max = jnp.maximum(meas, 0.0).max(axis=0)
+    theta = jnp.asarray(theta).astype(dt)
+    strong = (meas > 0) & (meas >= theta * row_max[None])
+    strong = strong.at[K_CENTER].set(False)
+
+    shat = jnp.where(strong, s, 0.0)
+    offd = np.ones(27, dtype=bool)
+    offd[K_CENTER] = False
+    weak_sum = jnp.where(strong, 0.0, s)[offd].sum(axis=0)
+    shat = shat.at[K_CENTER].set(diag + weak_sum)
+
+    ev = _parity_vectors(shape, strides, 0)
+    od = _parity_vectors(shape, strides, 1)
+    # host-side twins of the tiny parity vectors, for static emptiness
+    ev_h = [((np.arange(n) % 2) == 0) if st == 2 else np.zeros(n, bool)
+            for n, st in zip(shape, strides)]
+    od_h = [~v if st == 2 else np.ones(n, bool)
+            for v, (n, st) in zip(ev_h, zip(shape, strides))]
+
+    def axm(ax, v):
+        return v.reshape([-1 if i == ax else 1 for i in range(3)])
+
+    one = dt.type(1.0)
+    c_mask = axm(0, od[0]) & axm(1, od[1]) & axm(2, od[2])
+    w = jnp.zeros_like(s)
+    w = w.at[K_CENTER].set(jnp.where(c_mask, one, 0.0))
+
+    axes2 = tuple(ax for ax in range(3) if strides[ax] == 2)
+    for r in (1, 2, 3):
+        for E in combinations(axes2, r):
+            if not all((ev_h[ax] if ax in E else od_h[ax]).any()
+                       for ax in range(3)):
+                continue                      # class empty (static)
+            m_e = (axm(0, ev[0] if 0 in E else od[0])
+                   & axm(1, ev[1] if 1 in E else od[1])
+                   & axm(2, ev[2] if 2 in E else od[2]))
+            sc = {}
+            for k, d in enumerate(DIRS):
+                key = tuple(d[ax] if ax in E else 0 for ax in range(3))
+                sc[key] = (sc[key] + shat[k]) if key in sc else shat[k]
+            denom = sc[(0, 0, 0)]
+            num = jnp.zeros_like(s)
+            for dn, c in sc.items():
+                if dn == (0, 0, 0):
+                    continue
+                e_j = tuple(ax for ax in E if dn[ax] == 0)
+                if not e_j:
+                    num = num.at[dir_index(dn)].add(-c)
+                    continue
+                for signs in product((-1, 1), repeat=len(e_j)):
+                    dp = [0, 0, 0]
+                    for ax, sg in zip(e_j, signs):
+                        dp[ax] = sg
+                    tot = tuple(dn[ax] + dp[ax] for ax in range(3))
+                    num = num.at[dir_index(tot)].add(
+                        -c * _shift0_dev(w[dir_index(tuple(dp))], dn))
+            inv_d = jnp.where(denom != 0,
+                              one / jnp.where(denom == 0, one, denom), 0.0)
+            w = jnp.where(m_e[None], num * inv_d[None], w)
+
+    if mrs < 1.0:
+        weak_row = jnp.abs(s.sum(axis=0)) > dt.type(mrs) * jnp.abs(diag)
+        w = jnp.where((weak_row & ~c_mask)[None], 0.0, w)
+    return w
+
+
 @functools.partial(jax.jit, static_argnames=("strides", "a_slots"))
 def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
     """jnp twin of boxmg.rap_stencil; a_slots = static tuple of the A

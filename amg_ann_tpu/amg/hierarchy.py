@@ -54,9 +54,11 @@ class AMGParams:
     # operators DENSELY — XLA's TPU gather runs the ELL SpMV ~600× below
     # HBM speed of light, while a ≤2048² matmul is one MXU op
     dense_coarse_threshold: int = 2048
-    # structured-path interpolation: "operator" = θ-sensitive operator-
-    # induced weights (amg/boxmg.py), "trilinear" = fixed geometric weights
-    structured_interp: str = "operator"
+    # structured-path interpolation: "boxmg" (default) = θ-filtered BoxMG
+    # collapsed weights (level-independent convergence; amg/boxmg.py
+    # interp_weights_boxmg), "operator" = θ-filtered Ruge–Stüben direct
+    # weights (the round-2 baseline), "trilinear" = fixed geometric weights
+    structured_interp: str = "boxmg"
     cycle_type: str = "V"       # "V" | "W" (γ=2 coarse recursions)
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
@@ -93,10 +95,10 @@ class AMGParams:
             )
         if self.cycle_type not in ("V", "W"):
             raise ValueError(f"cycle_type must be V or W, got {self.cycle_type!r}")
-        if self.structured_interp not in ("operator", "trilinear"):
+        if self.structured_interp not in ("boxmg", "operator", "trilinear"):
             raise ValueError(
-                f"structured_interp must be 'operator' or 'trilinear', "
-                f"got {self.structured_interp!r}")
+                f"structured_interp must be 'boxmg', 'operator' or "
+                f"'trilinear', got {self.structured_interp!r}")
 
 
 @struct.dataclass

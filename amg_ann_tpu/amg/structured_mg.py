@@ -50,6 +50,12 @@ from .hierarchy import AMGParams, HierarchyStats, _estimate_lam_max
 from .transfer import coarse_size, prolongation_csr, transfer_dia
 
 
+# levels at or above this node count drop the (27, n) p_w array once the
+# DIA-form transfers are built (they carry the same weights): at 256³ the
+# fine-level p_w alone is 1.8 GB of HBM
+_P_W_DROP_ROWS = 8_000_000
+
+
 def _want_transfer_dia(shape) -> bool:
     """Build the DIA-form transfers for a level: levels big enough for the
     Pallas kernels, on accelerator backends (the CPU oracle path keeps the
@@ -164,9 +170,28 @@ class StructuredSetupResult:
     @property
     def p_mats(self) -> list:
         if self.p_mats_eager is None:
+            # big-level device weights may have been dropped to save HBM
+            # (_P_W_DROP_ROWS) — rebuild them from the kept stencils
+            ws = []
+            for l, w in enumerate(self.weights):
+                if w is None:
+                    w = _interp_fn_host(self.params)(
+                        np.asarray(self.stencils[l]),
+                        self.params.strong_threshold,
+                        self.params.max_row_sum, self.strides[l])
+                ws.append(w)
             self.p_mats_eager = [interp_csr(np.asarray(w), st) for w, st in
-                                 zip(self.weights, self.strides)]
+                                 zip(ws, self.strides)]
         return self.p_mats_eager
+
+
+def _interp_fn_host(params: AMGParams):
+    """Host weight builder for params.structured_interp ('boxmg' |
+    'operator'); the trilinear mode never reaches the stencil path."""
+    from .boxmg import interp_weights_boxmg
+
+    return (interp_weights_boxmg if params.structured_interp == "boxmg"
+            else interp_weights)
 
 
 def _dense_inverse(coarse_csr: CSR) -> np.ndarray:
@@ -191,8 +216,8 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
         strides = choose_strides(stencils[-1], params.strong_threshold)
         if 2 not in strides:
             break
-        w = interp_weights(stencils[-1], params.strong_threshold,
-                           params.max_row_sum, strides)
+        w = _interp_fn_host(params)(stencils[-1], params.strong_threshold,
+                                    params.max_row_sum, strides)
         stencils.append(rap_stencil(stencils[-1], w, strides))
         weights.append(w)
         stride_list.append(strides)
@@ -216,16 +241,24 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
         lam = stencil_lam_max(s_l, inv_diag)
         has_next = l < len(stencils) - 1
         p_dia = r_dia = None
-        if has_next and _want_transfer_dia(shape):
-            p_dia, r_dia = transfer_dia(
-                jnp.asarray(weights[l], dtype=dtype), shape, stride_list[l])
+        p_w_dev = None
+        if has_next:
+            w_dev = jnp.asarray(weights[l], dtype=dtype)
+            if _want_transfer_dia(shape):
+                p_dia, r_dia = transfer_dia(w_dev, shape, stride_list[l])
+                # big levels: the DIA transfers carry the weights — drop
+                # the redundant (27, n) p_w copy (1.8 GB of HBM at 256³)
+                if int(np.prod(shape)) < _P_W_DROP_ROWS:
+                    p_w_dev = w_dev
+            else:
+                p_w_dev = w_dev
         levels.append(StructuredLevel(
             a=stencil_to_dia(s_l, dtype=dtype, keep_all_slots=(l > 0)),
             inv_diag=jnp.asarray(inv_diag, dtype=dtype),
             inv_l1=jnp.asarray(inv_l1, dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
             shape=shape,
-            p_w=jnp.asarray(weights[l], dtype=dtype) if has_next else None,
+            p_w=p_w_dev,
             strides=stride_list[l] if has_next else (2, 2, 2),
             p_dia=p_dia, r_dia=r_dia,
         ))
@@ -257,10 +290,13 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
 
     from .boxmg import strides_from_couplings
     from .boxmg_device import (axis_couplings_dev, dense_from_stencil_dev,
-                               interp_weights_dev, lam_power_dev,
-                               level_stats_dev, nnz_count_dev,
+                               interp_weights_boxmg_dev, interp_weights_dev,
+                               lam_power_dev, level_stats_dev, nnz_count_dev,
                                rap_stencil_dev, stencil_to_dia_dev)
 
+    interp_dev = (interp_weights_boxmg_dev
+                  if params.structured_interp == "boxmg"
+                  else interp_weights_dev)
     t0 = time.perf_counter()
     theta = params.strong_threshold
 
@@ -279,8 +315,8 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             strides = stride_fn(len(stencils) - 1, shapes[-1], coup_devs[-1])
             if strides is None or 2 not in strides:
                 break
-            w = interp_weights_dev(stencils[-1], theta, strides=strides,
-                                   mrs=params.max_row_sum)
+            w = interp_dev(stencils[-1], theta, strides=strides,
+                           mrs=params.max_row_sum)
             s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
                                   a_slots=slot_list[-1])
             stencils.append(s_c)
@@ -302,15 +338,21 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
             has_next = l < len(stencils) - 1
             p_dia = r_dia = None
-            if has_next and _want_transfer_dia(shape):
-                p_dia, r_dia = transfer_dia(weights[l], shape,
-                                            stride_list[l])
+            p_w_dev = None
+            if has_next:
+                p_w_dev = weights[l]
+                if _want_transfer_dia(shape):
+                    p_dia, r_dia = transfer_dia(weights[l], shape,
+                                                stride_list[l])
+                    if int(np.prod(shape)) >= _P_W_DROP_ROWS:
+                        p_w_dev = None     # DIA transfers carry the weights
+                        weights[l] = None  # free the 27·n device buffer
             levels.append(StructuredLevel(
                 a=DIA(data=data, offsets=offs, n=int(np.prod(shape)),
                       nnz=0),
                 inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
                 shape=shape,
-                p_w=weights[l] if has_next else None,
+                p_w=p_w_dev,
                 strides=stride_list[l] if has_next else (2, 2, 2),
                 p_dia=p_dia, r_dia=r_dia,
             ))
@@ -339,6 +381,11 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
         # anisotropic: rebuild from the first diverging level with the
         # honest per-level decision (pays one fetch per remaining level,
         # and the speculative level work is discarded)
+        for l in range(bad):
+            if weights[l] is None:   # dropped by the speculative pass
+                weights[l] = interp_dev(stencils[l], theta,
+                                        strides=stride_list[l],
+                                        mrs=params.max_row_sum)
         per_level = lambda lv, shape, c_dev: strides_from_couplings(
             np.asarray(c_dev), theta, shape)
         (stencils, weights, stride_list, slot_list, shapes,
@@ -349,7 +396,8 @@ def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
             stencils, weights, stride_list, slot_list, shapes)
         nnz_host = _jax.device_get(nnz_dev)
     nnz = [int(v) for v in nnz_host]
-    p_nnz_est = sum(int(np.prod(w.shape)) for w in weights)  # upper bound
+    p_nnz_est = sum(27 * int(np.prod(sh))          # upper bound (27·n per
+                    for sh in shapes[:-1])         # level with a next one)
     rows = [int(np.prod(sh)) for sh in shapes]
     stats = HierarchyStats(
         n_levels=len(stencils), rows=rows, nnz=nnz,
@@ -449,7 +497,7 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
                                       device_setup=device_setup,
                                       stencil=stencil)
 
-    if params.structured_interp == "operator":
+    if params.structured_interp in ("boxmg", "operator"):
         if stencil is not None:
             if device_setup is None:
                 device_setup = (isinstance(stencil, jax.Array)

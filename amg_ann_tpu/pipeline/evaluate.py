@@ -61,6 +61,67 @@ def pred_theta(model, params, view_image, scalar_inputs: dict,
     return t0, tgt_pred, float(np.mean(err * (1.0 - pred)))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _pred_theta_jit(model, n, lvls, delta0, reduce, t_idx, n_names):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(params, view, base, t0):
+        view_b = jnp.broadcast_to(view[None], (n,) + view.shape)
+        delta = delta0
+        tgt = jnp.float32(0.0)
+        sig = jnp.float32(0.0)
+        for _ in range(lvls):                       # static unroll
+            thetas = jnp.linspace(t0 - delta, t0 + delta, n,
+                                  dtype=jnp.float32)
+            pvec = jnp.broadcast_to(base[None], (n, n_names))
+            pvec = pvec.at[:, t_idx].set(thetas)
+            out = model.apply({"params": params}, view_b, pvec)
+            if out.ndim > 1 and out.shape[1] > 1:
+                err = jnp.sqrt(jnp.maximum(out[:, 1], 0.0))
+                pred = out[:, 0]
+            else:
+                pred = out[:, 0]
+                err = jnp.zeros_like(pred)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            idx = jnp.argmin(pred)
+            t0 = pvec[idx, t_idx]
+            tgt = pred[idx]
+            sig = jnp.mean(err * (1.0 - pred))
+            delta = delta / reduce
+        return t0, tgt, sig
+
+    return run
+
+
+def pred_theta_device(model, params, view_image, scalar_inputs: dict,
+                      config: dict | None = None, theta_key: str = "theta"):
+    """Device-resident twin of pred_theta — the DEPLOYMENT path.
+
+    The view broadcasts on device (pred_theta re-uploads an (N, vs, vs,
+    C) repeated batch through the tunnel every call — ~3 MB at N=101),
+    the whole refinement loop runs inside one jit, and only three
+    scalars come back. Same math as pred_theta (the evaluation oracle);
+    tests pin the two against each other."""
+    import jax.numpy as jnp
+
+    cfg = dict(DEFAULT_TEST_CONFIG, **(config or {}))
+    names = list(scalar_inputs)
+    t_idx = names.index(theta_key)
+    base = np.array([np.float32(scalar_inputs[k]) for k in names],
+                    dtype=np.float32)
+    fn = _pred_theta_jit(model, cfg["N"], cfg["lvls"],
+                         float(cfg["delta"]), float(cfg["reduce"]),
+                         t_idx, len(names))
+    th, tgt, sig = fn(params, jnp.asarray(view_image, dtype=jnp.float32),
+                      jnp.asarray(base), jnp.float32(cfg["t0"]))
+    return float(th), float(tgt), float(sig)
+
+
 def interp1d_tgt(curve_df: pd.DataFrame, theta: float, tgt: str):
     """Interpolate the measured tgt(θ) curve at theta with end-fill."""
     x = np.asarray(curve_df["theta"], dtype=float)

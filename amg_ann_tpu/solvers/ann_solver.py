@@ -58,6 +58,12 @@ def predict_theta_for_matrix(a: CSR, model, params, *, view_size: int,
                 else int(np.prod(grid_shape)))
         scalar_inputs = {"log2ndof": float(np.log2(max(ndof, 2))),
                          "theta": 0.5, "degree": 1.0}
+    if stencil is not None:
+        # deployment: whole grid search in one jit, 3 scalars back
+        from ..pipeline.evaluate import pred_theta_device
+
+        return pred_theta_device(model, params, img, scalar_inputs,
+                                 search_config)
     return pred_theta(model, params, img, scalar_inputs, search_config)
 
 

@@ -48,7 +48,11 @@ def _use_fused_tail(h, l) -> bool:
 
 
 def _dia_transfers(lev) -> bool:
-    if TRANSFER_DIA_MODE == "never" or lev.p_dia is None:
+    if lev.p_dia is None:
+        return False
+    if lev.p_w is None:
+        return True   # p_w dropped to save HBM — DIA is the only path
+    if TRANSFER_DIA_MODE == "never":
         return False
     return TRANSFER_DIA_MODE == "always" or _use_pallas(lev.p_dia)
 
@@ -89,7 +93,9 @@ def _cycle(h, l, b):
     if block:
         assert weighted, "block levels always carry per-component weights"
         bc = restrict_bw(r, lev.p_w, lev.shape, lev.strides)
-    elif weighted and _dia_transfers(lev):
+    elif structured and _dia_transfers(lev):
+        # DIA transfers carry the weights themselves — big levels may
+        # drop the (27, n) p_w array entirely (256³: 1.8 GB of HBM)
         bc = subsample_flat(op_matvec(lev.r_dia, r), lev.shape, lev.strides)
     elif weighted:
         bc = restrict_w(r, lev.p_w, lev.shape, lev.strides)
@@ -106,7 +112,7 @@ def _cycle(h, l, b):
         xc = xc + _cycle(h, l + 1, rc)
     if block:
         x = x + prolongate_bw(xc, lev.p_w, lev.shape, lev.strides)
-    elif weighted and _dia_transfers(lev):
+    elif structured and _dia_transfers(lev):
         x = x + op_matvec(lev.p_dia,
                           interleave_flat(xc, lev.shape, lev.strides))
     elif weighted:

@@ -79,12 +79,18 @@ def lanczos_extremal(a: CSR | ell_mod.ELL, m: int = 100,
     alphas, betas = _lanczos(a_ell, v0, m)
     alphas = np.asarray(alphas)
     betas = np.asarray(betas)
-    # truncate at the first non-finite coefficient (f32 recurrence can
-    # diverge on κ ≳ 1e7 operators — run under jax_enable_x64 for those;
-    # this keeps the truncated Ritz values usable instead of crashing
-    # eigvalsh on NaNs)
+    # the f32 recurrence can diverge on κ ≳ 1e7 operators: fail fast
+    # with guidance when x64 is off (a truncated-garbage Ritz estimate
+    # silently poisons downstream θ-sweeps); under x64 a non-finite tail
+    # is a pathological matrix — truncate to the usable prefix
     finite = np.isfinite(alphas) & np.isfinite(betas)
     if not finite.all():
+        if not jax.config.read("jax_enable_x64"):
+            raise RuntimeError(
+                "lanczos_extremal: non-finite recurrence coefficients at "
+                f"step {int(np.flatnonzero(~finite)[0])} — the f32 "
+                "Lanczos recurrence diverged (κ ≳ 1e7). Enable x64 "
+                'first: jax.config.update("jax_enable_x64", True).')
         m = max(int(np.flatnonzero(~finite)[0]), 1)
         alphas, betas = alphas[:m], betas[:m]
     # truncate at the first (near-)breakdown — T beyond it is meaningless

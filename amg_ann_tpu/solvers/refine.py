@@ -97,13 +97,16 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
     x64 = jax.config.read("jax_enable_x64")
     hi_dtype = jnp.float64 if x64 else jnp.float32
     if not x64 and rtol < 1e-6:
-        import warnings
-
-        warnings.warn(
-            "ir_solve: jax_enable_x64 is off, so the 'f64' outer residual "
-            f"runs in f32 — rtol={rtol:g} is unreachable on ill-"
-            "conditioned systems. Enable x64 (bench.py does).",
-            stacklevel=2)
+        # hard requirement, not a hint: without a REAL f64 outer
+        # residual the Richardson iteration stalls at ~κ·ε_f32 — at 129³
+        # jumping-coefficient scale that's far above 1e-8 (round-2 late
+        # findings). Failing fast beats a silent non-converging burn.
+        raise RuntimeError(
+            "ir_solve: jax_enable_x64 is off, so the f64 outer residual "
+            f"would run in f32 — rtol={rtol:g} is unreachable on ill-"
+            "conditioned systems. Enable x64 first "
+            '(jax.config.update("jax_enable_x64", True)), or relax '
+            "rtol to ≥1e-6 for a single-precision solve.")
     # f64 outer residual: use the banded (gather-free) path when the matrix
     # has DIA structure — the emulated-f64 gather SpMV would otherwise
     # dominate the whole solve on TPU

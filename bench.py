@@ -110,14 +110,21 @@ def main():
     t0 = time.perf_counter()
     s_dev = jax.block_until_ready(jnp.asarray(s0))
     t_upload = time.perf_counter() - t0
+    # BENCH_HOST_SETUP=1: build the hierarchy on host (numpy) and upload
+    # per level — the 256³ device setup peak exceeds single-chip HBM
+    host_setup = os.environ.get("BENCH_HOST_SETUP", "0") == "1"
+    dev_kw = dict(device_setup=False) if host_setup else {}
     t0 = time.perf_counter()
-    h = setup_structured(a, (N, N, N), params, stencil=s_dev,
-                         a_slots=a_slots)
+    h = setup_structured(a, (N, N, N), params, stencil=s_dev if not
+                         host_setup else s0, a_slots=a_slots, **dev_kw)
     t_setup_cold = time.perf_counter() - t0       # includes compiles
-    t0 = time.perf_counter()
-    h = setup_structured(a, (N, N, N), params, stencil=s_dev,
-                         a_slots=a_slots)
-    t_setup = time.perf_counter() - t0            # warm marginal
+    if host_setup:
+        t_setup = t_setup_cold   # one build: the upload dominates anyway
+    else:
+        t0 = time.perf_counter()
+        h = setup_structured(a, (N, N, N), params, stencil=s_dev,
+                             a_slots=a_slots)
+        t_setup = time.perf_counter() - t0        # warm marginal
 
     # warm-up with IDENTICAL static args (max_outer/inner_maxiter are jit
     # statics — different values would recompile inside the timed call).

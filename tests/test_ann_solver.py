@@ -53,3 +53,28 @@ def test_ann_amg_solve_end_to_end(shipped):
     assert res.converged, res.niters
     assert 0.05 <= theta <= 0.95
     assert res.hierarchy.params.strong_threshold == theta
+
+
+def test_stencil_fast_path_matches_host(shipped):
+    """Deployment fast path (device stencil view + device pred_theta)
+    must agree with the host oracle path on the SAME matrix."""
+    model, params, spec = shipped
+    rng = np.random.default_rng(2)
+    p = StructuredDiffusion(pattern_size=2, refinements=3, mode=3,
+                            epsv=rng.uniform(0, 5, 8))
+    a, b, x0 = p.build()
+    gs = (p.n_nodes_1d,) * 3
+    from amg_ann_tpu.amg.boxmg import csr_to_stencil
+
+    s = csr_to_stencil(a, gs)
+    scal = {"log2ndof": float(np.log2(a.nrows)), "theta": 0.5,
+            "mode": 3.0}
+    th_host, cost_host, sig_host = predict_theta_for_matrix(
+        a, model, params, view_size=spec["view_size"],
+        scalar_inputs=scal)
+    th_dev, cost_dev, sig_dev = predict_theta_for_matrix(
+        None, model, params, view_size=spec["view_size"],
+        scalar_inputs=scal, stencil=s, grid_shape=gs)
+    np.testing.assert_allclose(th_dev, th_host, atol=1e-5)
+    np.testing.assert_allclose(cost_dev, cost_host, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sig_dev, sig_host, rtol=1e-4, atol=1e-6)

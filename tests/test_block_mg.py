@@ -8,7 +8,8 @@ portable DIA path vs the Pallas kernel in interpret mode."""
 import numpy as np
 import pytest
 
-from amg_ann_tpu.amg.boxmg import interp_csr, interp_weights
+from amg_ann_tpu.amg.boxmg import (interp_csr,
+                                   interp_weights_boxmg)
 from amg_ann_tpu.amg.boxmg_block import (
     block_stencil_matvec, block_stencil_to_csr, block_stencil_to_dia,
     choose_strides_block, csr_to_block_stencil, setup_structured_block,
@@ -112,8 +113,9 @@ class TestBlockGalerkin:
         params = AMGParams(strong_threshold=0.3, max_coarse_size=200)
         res = setup_structured_block(a, (n1, n1, n1), params, np.float64)
         for c in range(3):
-            w_ref = interp_weights(np.ascontiguousarray(s[:, c, c]), 0.3,
-                                   params.max_row_sum, strides)
+            w_ref = interp_weights_boxmg(
+                np.ascontiguousarray(s[:, c, c]), 0.3,
+                params.max_row_sum, strides)
             np.testing.assert_allclose(np.asarray(res.weights[0][c]), w_ref,
                                        rtol=1e-12)
 

@@ -505,3 +505,76 @@ class TestCoarseLevelKernelGeometry:
         for sh, sd in zip(hh.stencils, hd.stencils):
             scale = max(np.abs(sh).max(), 1e-30)
             assert np.abs(np.asarray(sd) - sh).max() < 1e-10 * scale
+
+
+class TestBoxMGInterp:
+    """θ-filtered BoxMG collapsed interpolation (interp_weights_boxmg)."""
+
+    def _stencil(self, n=10):
+        from amg_ann_tpu.fem import poisson_7pt
+
+        a = poisson_7pt(n)
+        return csr_to_stencil(a, (n, n, n)).astype(np.float64)
+
+    def test_constants_preserved_interior(self):
+        """Zero-row-sum rows must interpolate constants exactly: the
+        weights of every F point sum to 1 where the row sum is 0."""
+        s = self._stencil(12)
+        # interior rows have zero row sum only for scale_h=False; build one
+        from amg_ann_tpu.fem import poisson_7pt
+
+        a = poisson_7pt(12, scale_h=False)
+        s = csr_to_stencil(a, (12, 12, 12)).astype(np.float64)
+        from amg_ann_tpu.amg.boxmg import interp_weights_boxmg
+
+        w = interp_weights_boxmg(s, 0.25)
+        wsum = w.sum(axis=0)
+        # DEEP interior only: near the boundary the substituted
+        # neighbors legitimately see the eliminated Dirichlet values and
+        # the sums drop below 1 (correct harmonic-extension behavior)
+        deep = np.zeros((12, 12, 12), bool)
+        deep[3:-3, 3:-3, 3:-3] = True
+        np.testing.assert_allclose(wsum[deep], 1.0, atol=1e-12)
+
+    def test_galerkin_spd_and_convergence_level_independent(self):
+        """RAP through the BoxMG weights stays SPD and the 2-level ρ is
+        small (the level-independence evidence lives in bench history)."""
+        from amg_ann_tpu.amg.boxmg import interp_weights_boxmg
+
+        s = self._stencil(12)
+        w = interp_weights_boxmg(s, 0.25)
+        sc = rap_stencil(s, w)
+        ac = stencil_to_csr(sc).to_dense()
+        np.testing.assert_allclose(ac, ac.T, atol=1e-12)
+        ev = np.linalg.eigvalsh(ac)
+        assert ev.min() > 0
+
+    def test_host_device_parity(self):
+        from amg_ann_tpu.amg.boxmg import interp_weights_boxmg
+        from amg_ann_tpu.amg.boxmg_device import interp_weights_boxmg_dev
+
+        rng = np.random.default_rng(5)
+        for strides in ((2, 2, 2), (2, 1, 2), (2, 1, 1)):
+            s = self._stencil(8).astype(np.float32)
+            # jumping-coefficient-like perturbation, symmetric enough
+            s = s * (1.0 + 0.5 * rng.random(s.shape).astype(np.float32))
+            for theta in (0.05, 0.5, 0.9):
+                wh = interp_weights_boxmg(s, theta, strides=strides)
+                wd = np.asarray(interp_weights_boxmg_dev(
+                    jnp.asarray(s), theta, strides=strides))
+                np.testing.assert_allclose(wd, wh, rtol=2e-6, atol=1e-7)
+
+    def test_weights_on_corner_lattice_only(self):
+        """Weights must live on the geometric coarse-corner set (the
+        3³ closure the DIA V-cycle depends on)."""
+        from amg_ann_tpu.amg.boxmg import _geo_masks, interp_weights_boxmg
+
+        s = self._stencil(9)
+        w = interp_weights_boxmg(s, 0.25)
+        geo = _geo_masks((9, 9, 9), (2, 2, 2))
+        c_mask = np.zeros((9, 9, 9), bool)
+        odd = (np.arange(9) % 2) == 1
+        c_mask = odd[:, None, None] & odd[None, :, None] & odd[None, None, :]
+        off_lattice = (~geo) & ~((np.arange(27) == 13)[:, None, None, None]
+                                 & c_mask[None])
+        assert np.abs(np.where(off_lattice, w, 0.0)).max() == 0.0
