@@ -252,3 +252,41 @@ class TestDistStructured:
         assert rep["converged"]
         assert rep["nnz_per_s_ndev"] > 0 and rep["nnz_per_s_1dev"] > 0
         assert 0.0 < rep["scaling_efficiency"]
+
+
+class TestShardedSetup:
+    """Sharded hierarchy SETUP (dist/setup_sharded.py, SURVEY §7.8):
+    per-device setup memory via GSPMD x-slab sharding of the fine
+    stencil."""
+
+    def test_matches_single_device_and_stays_sharded(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from amg_ann_tpu.amg import AMGParams
+        from amg_ann_tpu.amg.boxmg import csr_to_stencil
+        from amg_ann_tpu.amg.structured_mg import setup_structured
+        from amg_ann_tpu.dist.setup_sharded import setup_structured_sharded
+        from amg_ann_tpu.fem import poisson_7pt
+        from amg_ann_tpu.solvers import amg_solve
+
+        n = 16
+        a = poisson_7pt(n)
+        s = csr_to_stencil(a, (n, n, n)).astype(np.float32)
+        params = AMGParams(smoother="chebyshev", dtype=np.float32,
+                           max_coarse_size=512)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        h_sh = setup_structured_sharded(s, (n, n, n), params, mesh)
+        h_ref = setup_structured(a, (n, n, n), params, stencil=s,
+                                 device_setup=True)
+        # bit-compatible hierarchy
+        for lv_s, lv_r in zip(h_sh.device.levels, h_ref.device.levels):
+            np.testing.assert_array_equal(np.asarray(lv_s.a.data),
+                                          np.asarray(lv_r.a.data))
+        # the FINE level's operator memory is genuinely partitioned
+        spec = h_sh.device.levels[0].a.data.sharding.spec
+        assert "x" in tuple(spec), spec
+        # and the hierarchy solves
+        b = a.matvec(np.random.default_rng(0).random(n ** 3))
+        r = amg_solve(a, b, params, hierarchy=h_sh, rtol=1e-6, tol=0.0)
+        assert bool(r.converged)

@@ -134,3 +134,26 @@ class TestHigherDegree:
         assert res.converged, res.niters
         lv0 = res.hierarchy.device.levels[0]
         assert len(lv0.a.offsets) <= 125
+
+@pytest.mark.slow
+def test_ir_solve_129cubed_scale_regression():
+    """129³-scale regression (VERDICT r2 item 8): jumping coefficients at
+    the size where κ·ε_f32 stalls first appeared. Equilibrated x64 IR
+    must reach 1e-8 TRUE residual in a few outer sweeps. CPU, one solve,
+    marked slow (~minutes)."""
+    from amg_ann_tpu.fem.structured import StructuredDiffusion
+    from amg_ann_tpu.solvers import ir_solve
+
+    rng = np.random.default_rng(11)
+    p = StructuredDiffusion(pattern_size=8, refinements=4, degree=1,
+                            mode=2, epsv=rng.uniform(0, 6.0, 64))
+    a, b, x0 = p.build()
+    n = p.n_nodes_1d
+    assert n == 129
+    params = AMGParams(smoother="chebyshev", dtype=np.float32,
+                       max_coarse_size=2048)
+    r = ir_solve(a, b, params, grid_shape=(n, n, n), rtol=1e-8,
+                 max_outer=8)
+    assert r.converged, (r.outer_iters, r.inner_iters, r.true_res)
+    assert r.true_res <= 1e-8
+    assert r.outer_iters <= 6, r.outer_iters
