@@ -190,8 +190,12 @@ def interp_weights_boxmg_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
 
     one = dt.type(1.0)
     c_mask = axm(0, od[0]) & axm(1, od[1]) & axm(2, od[2])
-    w = jnp.zeros_like(s)
-    w = w.at[K_CENTER].set(jnp.where(c_mask, one, 0.0))
+    zero_grid = jnp.zeros(shape, dtype=dt)
+    # w as a per-direction dict of (nx, ny, nz) arrays: the class
+    # substitutions touch ≤ 8 directions each, so dict accumulation
+    # keeps traffic O(#contributions · n) — a (27, n) .at[].add would
+    # copy the whole weight array per tap (gigabytes per setup at 128³)
+    w = {K_CENTER: jnp.where(c_mask, one, 0.0)}
 
     axes2 = tuple(ax for ax in range(3) if strides[ax] == 2)
     for r in (1, 2, 3):
@@ -207,29 +211,36 @@ def interp_weights_boxmg_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
                 key = tuple(d[ax] if ax in E else 0 for ax in range(3))
                 sc[key] = (sc[key] + shat[k]) if key in sc else shat[k]
             denom = sc[(0, 0, 0)]
-            num = jnp.zeros_like(s)
+            num = {}
             for dn, c in sc.items():
                 if dn == (0, 0, 0):
                     continue
                 e_j = tuple(ax for ax in E if dn[ax] == 0)
                 if not e_j:
-                    num = num.at[dir_index(dn)].add(-c)
+                    kk = dir_index(dn)
+                    num[kk] = num.get(kk, 0.0) + (-c)
                     continue
                 for signs in product((-1, 1), repeat=len(e_j)):
                     dp = [0, 0, 0]
                     for ax, sg in zip(e_j, signs):
                         dp[ax] = sg
-                    tot = tuple(dn[ax] + dp[ax] for ax in range(3))
-                    num = num.at[dir_index(tot)].add(
-                        -c * _shift0_dev(w[dir_index(tuple(dp))], dn))
+                    kk = dir_index(tuple(dn[ax] + dp[ax]
+                                         for ax in range(3)))
+                    prev = w.get(dir_index(tuple(dp)))
+                    if prev is None:
+                        continue
+                    num[kk] = num.get(kk, 0.0) + (
+                        -c * _shift0_dev(prev, dn))
             inv_d = jnp.where(denom != 0,
                               one / jnp.where(denom == 0, one, denom), 0.0)
-            w = jnp.where(m_e[None], num * inv_d[None], w)
+            for kk, v in num.items():
+                w[kk] = jnp.where(m_e, v * inv_d, w.get(kk, zero_grid))
 
     if mrs < 1.0:
         weak_row = jnp.abs(s.sum(axis=0)) > dt.type(mrs) * jnp.abs(diag)
-        w = jnp.where((weak_row & ~c_mask)[None], 0.0, w)
-    return w
+        keep = ~(weak_row & ~c_mask)
+        w = {k: jnp.where(keep, v, 0.0) for k, v in w.items()}
+    return jnp.stack([w.get(k, zero_grid) for k in range(27)])
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "a_slots"))
