@@ -39,6 +39,46 @@ def _safe_div_by_count(matrx, count):
         return np.where(count > 0, matrx / count, 0.0)
 
 
+def stack_channels_device(view, view_type: str, mode: str):
+    """jnp twin of stack_channels for the DEPLOYMENT fast path (modes
+    pure | pure_log — the shipped configurations): normalize + stack on
+    device so the whole predict pipeline (view/pooling.make_view_stencil
+    → here → pipeline/evaluate.pred_theta_device) runs with zero host
+    syncs. Host stack_channels stays the oracle; parity is pinned in
+    tests/test_ann_solver.py."""
+    import jax.numpy as jnp
+
+    if mode not in ("pure", "pure_log"):
+        raise KeyError(f"device path supports pure|pure_log, got {mode!r}")
+
+    def elog(x):
+        return jnp.log(jnp.abs(x) + 1.0) * jnp.sign(x)
+
+    def unit(x):
+        m = jnp.abs(x).max()
+        return x / jnp.where(m > 0, m, 1.0)
+
+    def nv(x):
+        x = jnp.asarray(x).astype(jnp.float32)
+        return unit(elog(x)) if mode == "pure_log" else unit(x)
+
+    s, pp, np_, cnt = (nv(view.sum), nv(view.max_pp), nv(view.max_np),
+                       nv(view.count))
+    if view_type == "sum":
+        chans = [s]
+    elif view_type == "max":
+        chans = [jnp.maximum(pp, np_)]
+    elif view_type == "max_ppnp":
+        chans = [pp, np_]
+    elif view_type == "sum+max":
+        chans = [s, pp, np_]
+    elif view_type == "sum+max+c":
+        chans = [s, pp, np_, cnt]
+    else:
+        raise KeyError(f"Unrecognised view type: {view_type!r}")
+    return jnp.stack(chans, axis=-1)
+
+
 def norm_view(matrx, count, mode, dataset_max=None):
     """Normalize one (vs, vs) channel. matrx = channel, count = view_count."""
     matrx = np.asarray(matrx, dtype=np.float64)

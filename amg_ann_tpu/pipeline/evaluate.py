@@ -107,6 +107,7 @@ def pred_theta_device(model, params, view_image, scalar_inputs: dict,
     the whole refinement loop runs inside one jit, and only three
     scalars come back. Same math as pred_theta (the evaluation oracle);
     tests pin the two against each other."""
+    import jax
     import jax.numpy as jnp
 
     cfg = dict(DEFAULT_TEST_CONFIG, **(config or {}))
@@ -117,8 +118,9 @@ def pred_theta_device(model, params, view_image, scalar_inputs: dict,
     fn = _pred_theta_jit(model, cfg["N"], cfg["lvls"],
                          float(cfg["delta"]), float(cfg["reduce"]),
                          t_idx, len(names))
-    th, tgt, sig = fn(params, jnp.asarray(view_image, dtype=jnp.float32),
-                      jnp.asarray(base), jnp.float32(cfg["t0"]))
+    out = fn(params, jnp.asarray(view_image, dtype=jnp.float32),
+             jnp.asarray(base), jnp.float32(cfg["t0"]))
+    th, tgt, sig = jax.device_get(out)     # ONE host sync (tunnel RTT)
     return float(th), float(tgt), float(sig)
 
 

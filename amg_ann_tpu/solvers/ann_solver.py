@@ -44,15 +44,19 @@ def predict_theta_for_matrix(a: CSR, model, params, *, view_size: int,
     view/pooling.make_view_stencil). `a` may then be None.
     """
     if stencil is not None:
+        # deployment fast path: view, normalization and the θ search all
+        # stay on device — one 3-scalar fetch at the very end
+        from ..ann.normalize import stack_channels_device
         from ..view.pooling import make_view_stencil
 
         assert grid_shape is not None, "stencil path needs grid_shape"
         view = make_view_stencil(stencil, grid_shape, view_size)
-        view = View(*[np.asarray(c) for c in view])
+        img = stack_channels_device(view, view_type, norm_mode)
     else:
         view, _ = make_view(a, view_size)
-    img = stack_channels(view.sum, view.max_pp, view.max_np, view.count,
-                         view_type, norm_mode).astype(np.float32)
+        img = stack_channels(view.sum, view.max_pp, view.max_np,
+                             view.count, view_type,
+                             norm_mode).astype(np.float32)
     if scalar_inputs is None:
         ndof = (a.nrows if a is not None
                 else int(np.prod(grid_shape)))
