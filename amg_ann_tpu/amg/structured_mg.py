@@ -202,6 +202,72 @@ def _dense_inverse(coarse_csr: CSR) -> np.ndarray:
         return np.linalg.pinv(coarse)
 
 
+def _setup_operator_wide(a: CSR, s5: np.ndarray, grid_shape,
+                         params: AMGParams, dtype) -> StructuredSetupResult:
+    """5³-reach (degree-2 FEM) fine level: p-coarsen onto the vertex
+    grid with the tensor Q2→Q1 prolongation, Galerkin-restrict the
+    125-point operator to a 27-point vertex stencil (amg/wide.py), then
+    run the unchanged θ-sensitive operator path below. The wide fine
+    level solves as a plain (125-offset) DIA operator — no new kernels.
+    Reference parity: tc2 degree-2/3 sweeps,
+    testcase2-diffusion-structured/datagen.py:29-52."""
+    from .wide import (K5_CENTER, rap_stencil_wide, stencil_to_dia_wide,
+                       trilinear_weights_wide)
+
+    t0 = time.perf_counter()
+    shape0 = tuple(grid_shape)
+    w0 = trilinear_weights_wide(shape0, np.dtype(dtype))
+    s1 = rap_stencil_wide(s5, w0).astype(dtype)
+    vshape = tuple(n // 2 for n in shape0)
+
+    inner = _setup_operator(a, s1, vshape, params, dtype)
+
+    # level-0 arrays from the wide stencil
+    diag = s5[K5_CENTER].reshape(-1)
+    absum = np.abs(s5).sum(axis=0).reshape(-1)
+    inv_diag = np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 0.0)
+    inv_l1 = np.where(absum != 0, 1.0 / np.where(absum == 0, 1, absum), 0.0)
+    lam = float(np.max(absum * np.abs(inv_diag))) if diag.size else 1.0
+    p_dia = r_dia = None
+    if _want_transfer_dia(shape0):
+        p_dia, r_dia = transfer_dia(jnp.asarray(w0, dtype=dtype), shape0,
+                                    (2, 2, 2))
+    lev0 = StructuredLevel(
+        a=stencil_to_dia_wide(s5, dtype=dtype),
+        inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+        inv_l1=jnp.asarray(inv_l1, dtype=dtype),
+        lam_max=jnp.asarray(lam if lam > 0 else 1.0, dtype=dtype),
+        shape=shape0,
+        p_w=jnp.asarray(w0, dtype=dtype),
+        strides=(2, 2, 2), p_dia=p_dia, r_dia=r_dia,
+    )
+    levels = (lev0,) + inner.device.levels
+    device = StructuredHierarchy(
+        levels=levels, coarse_inv=inner.device.coarse_inv,
+        params=params.solve_view(),
+        fused_tail=_maybe_fused_tail(list(levels),
+                                     inner.device.coarse_inv, params),
+    )
+    nnz0 = int(np.count_nonzero(s5))
+    rows = [int(np.prod(shape0))] + inner.stats.rows
+    nnz = [nnz0] + inner.stats.nnz
+    p_nnz = int(np.count_nonzero(w0)) + sum(
+        int(np.count_nonzero(w)) for w in inner.weights)
+    stats = HierarchyStats(
+        n_levels=len(rows), rows=rows, nnz=nnz,
+        sparsity=[z / max(r, 1) for z, r in zip(nnz, rows)],
+        grid_complexity=sum(rows) / max(rows[0], 1),
+        operator_complexity=sum(nnz) / max(nnz[0], 1),
+        memory_complexity=(sum(nnz) + p_nnz) / max(nnz[0], 1),
+    )
+    stats.t_setup = time.perf_counter() - t0
+    return StructuredSetupResult(
+        device, stats, params,
+        stencils=[s1] + inner.stencils,       # 27-pt levels (oracles)
+        weights=[w0] + inner.weights,
+        strides=[(2, 2, 2)] + inner.strides)
+
+
 def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
                     dtype) -> StructuredSetupResult:
     """θ-sensitive path: stencil hierarchy, stencil-algebra RAP."""
@@ -527,5 +593,18 @@ def setup_structured(a: CSR, grid_shape, params: AMGParams | None = None,
                 return _setup_operator_device(jnp.asarray(s0), grid_shape,
                                               params, dtype, a_slots)
             return _setup_operator(a, s0, grid_shape, params, dtype)
-        # wider than 3³ (degree ≥ 2 FEM) — θ-blind geometric fallback
+        # wider than 3³ (degree-2 FEM): p-coarsen the 5³ fine level onto
+        # the vertex grid, θ-sensitive operator path below (amg/wide.py)
+        from .wide import csr_to_stencil_wide
+
+        s5 = csr_to_stencil_wide(a, grid_shape)
+        if s5 is not None:
+            if s5.dtype != np.dtype(dtype):
+                s5 = s5.astype(dtype)
+            try:
+                return _setup_operator_wide(a, s5, grid_shape, params,
+                                            dtype)
+            except ValueError:
+                pass          # non-cell-local corner case → trilinear
+        # wider than 5³ (degree ≥ 3 FEM) — θ-blind geometric fallback
     return _setup_trilinear(a, grid_shape, params, dtype)

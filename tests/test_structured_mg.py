@@ -157,3 +157,84 @@ def test_ir_solve_129cubed_scale_regression():
     assert r.converged, (r.outer_iters, r.inner_iters, r.true_res)
     assert r.true_res <= 1e-8
     assert r.outer_iters <= 6, r.outer_iters
+
+
+class TestWideDeg2:
+    """Degree-2 (5³-reach) structured path: p-coarsen onto the vertex
+    grid, θ-sensitive operator hierarchy below (amg/wide.py)."""
+
+    def _problem(self):
+        rng = np.random.default_rng(3)
+        p = StructuredDiffusion(pattern_size=2, refinements=2, degree=2,
+                                mode=2, epsv=rng.uniform(0, 4, 4))
+        a, b, x0 = p.build()
+        return p, a, b, x0
+
+    def test_galerkin_matches_csr_triple_product(self):
+        """Wide RAP == exact Pt A P on the |D| <= 1 lattice; the folded
+        |D| = 2 mass is bounded (approximate-Galerkin contract of
+        rap_stencil_wide: preconditioner-only perturbation)."""
+        from amg_ann_tpu.amg.boxmg import interp_csr, stencil_to_csr
+        from amg_ann_tpu.amg.wide import (csr_to_stencil_wide,
+                                          rap_stencil_wide,
+                                          trilinear_weights_wide)
+        from amg_ann_tpu.sparse.spgemm import spgemm
+
+        p, a, b, x0 = self._problem()
+        n1 = p.n_nodes_1d
+        s5 = csr_to_stencil_wide(a, (n1, n1, n1))
+        assert s5 is not None
+        w0 = trilinear_weights_wide((n1, n1, n1), np.dtype(np.float64))
+        s1 = rap_stencil_wide(s5.astype(np.float64), w0)
+        p_csr = interp_csr(w0, (2, 2, 2))
+        exact = spgemm(p_csr.transpose(), spgemm(a.astype(np.float64),
+                                                 p_csr))
+        m = n1 // 2
+        rows, cols, vals = exact.row_expand()
+        xr, rem = np.divmod(rows, m * m)
+        yr, zr = np.divmod(rem, m)
+        xc, rem = np.divmod(cols, m * m)
+        yc, zc = np.divmod(rem, m)
+        dist = np.maximum(np.maximum(np.abs(xc - xr), np.abs(yc - yr)),
+                          np.abs(zc - zr))
+        # folded far-band mass stays small vs the diagonal scale
+        far = np.abs(vals[dist > 1]).max()
+        assert far < 0.01 * np.abs(vals[dist == 0]).max()
+        # near bands: folded result == exact + the folded far mass, so
+        # compare at the fold magnitude
+        got = stencil_to_csr(s1).to_dense()
+        want = exact.to_dense()
+        np.testing.assert_allclose(got[np.abs(want) > 0][:],
+                                   want[np.abs(want) > 0][:],
+                                   rtol=0.2, atol=2 * far)
+
+    def test_wide_matvec_matches_csr(self):
+        from amg_ann_tpu.amg.wide import (csr_to_stencil_wide,
+                                          stencil_matvec_wide,
+                                          stencil_to_dia_wide)
+        from amg_ann_tpu.sparse.dia import dia_spmv
+
+        p, a, b, x0 = self._problem()
+        n1 = p.n_nodes_1d
+        s5 = csr_to_stencil_wide(a, (n1, n1, n1))
+        x = np.random.default_rng(1).random(a.nrows)
+        want = a.matvec(x)
+        np.testing.assert_allclose(stencil_matvec_wide(s5, x), want,
+                                   rtol=1e-10, atol=1e-12)
+        d = stencil_to_dia_wide(s5)
+        np.testing.assert_allclose(np.asarray(dia_spmv(d, x))[: a.nrows],
+                                   want, rtol=1e-6, atol=1e-8)
+
+    def test_deg2_solve_converges_through_structured_path(self):
+        p, a, b, x0 = self._problem()
+        n1 = p.n_nodes_1d
+        params = AMGParams(strong_threshold=0.25, smoother="chebyshev",
+                           dtype=np.float32, max_coarse_size=512)
+        h = setup_structured(a, (n1, n1, n1), params)
+        # the wide path engaged (not the θ-blind trilinear fallback):
+        # level 0 carries the 125-offset DIA operator
+        assert len(h.device.levels[0].a.offsets) > 27
+        r = amg_solve(a, b, params, hierarchy=h, x0=x0, rtol=1e-6,
+                      tol=0.0)
+        assert bool(r.converged), r.niters
+        assert r.niters <= 15, r.niters
