@@ -59,18 +59,23 @@ def halo_rows(offsets) -> int:
 # ---- fused-window vmem accounting -------------------------------------
 # Each fused kernel (smooth_step / cheb_sweep / smooth_apply) holds
 # (k + n_vec) scoped window copies of win = B + 4·big_h rows plus
-# Mosaic's double-buffered BlockSpec operand/output blocks. Mosaic
-# enforces the per-kernel vmem_limit_bytes we declare, so the declared
-# limit must DOMINATE true usage: measured 22.87M actual vs ~19.0M
-# estimated at 129³/k=27/B=128 (bench/tpu_chain_r3.log — Mosaic stack
-# temporaries add ~20%), hence the 1.4× margin. The hard cap stays well
-# under v5e's 128 MiB VMEM so XLA retains working space.
+# Mosaic's DOUBLE-BUFFERED BlockSpec operand/output blocks — the
+# k-diagonal coefficient block alone costs 2·k·B, which the window term
+# k·(B + 4·big_h) does not dominate when big_h is small relative to B
+# (observed: tc3 block operator k=87, declared 19.89M vs 21.20M actual,
+# bench/tpu_chain_tc3.log). Mosaic enforces the per-kernel
+# vmem_limit_bytes we declare, so the declared limit must DOMINATE true
+# usage: 22.87M actual vs ~19.0M estimated at 129³/k=27/B=128
+# (bench/tpu_chain_r3.log — stack temporaries add ~20%), hence the
+# explicit 2·k·B term in the need functions plus a 1.5× margin. The
+# hard cap stays well under v5e's 128 MiB VMEM so XLA retains working
+# space.
 _VMEM_HARD_CAP = 64 * 1024 * 1024
-_NEED_CAP = 44 * 1024 * 1024       # 1.4·44M + 2M ≤ _VMEM_HARD_CAP
+_NEED_CAP = 40 * 1024 * 1024       # 1.5·40M + 4M ≤ _VMEM_HARD_CAP
 
 
 def _vmem_limit(need: int) -> int:
-    return min(int(need * 1.4) + 2 * 1024 * 1024, _VMEM_HARD_CAP)
+    return min(int(need * 1.5) + 4 * 1024 * 1024, _VMEM_HARD_CAP)
 
 
 def _pick_block_rows(r, big_h, need_fn, target_bytes, k):
@@ -90,7 +95,8 @@ def _pick_block_rows(r, big_h, need_fn, target_bytes, k):
 
 
 def _apply_need(k, n_vec, n_out, b, big_h):
-    return ((k + n_vec) * (b + 4 * big_h) + 2 * n_out * b) * LANES * 4
+    return ((k + n_vec) * (b + 4 * big_h)
+            + 2 * (k + n_out) * b) * LANES * 4
 
 
 def smooth_apply_block_rows(k, r, offsets, n_apps, x_zero, want_res):
@@ -106,7 +112,7 @@ def smooth_apply_block_rows(k, r, offsets, n_apps, x_zero, want_res):
 
 
 def _cheb_need(k, b, big_h):
-    return ((k + 3) * (b + 4 * big_h) + 8 * b) * LANES * 4
+    return ((k + 3) * (b + 4 * big_h) + (2 * k + 8) * b) * LANES * 4
 
 
 def cheb_sweep_block_rows(k, r, offsets, steps):

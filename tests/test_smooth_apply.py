@@ -175,3 +175,26 @@ class TestVmemFeasibility:
         assert ps.smooth_apply_block_rows(
             27, 16384, offs128, n_apps=2, x_zero=False,
             want_res=False) == 128
+
+    def test_apply_tc3_block_87diag_limit_dominates(self):
+        """tc3 r=4 block operator (interleaved 3-component 27-pt stencil
+        on 33³ → k=87 structural diagonals, halo 28 rows, padded r=896):
+        the chooser picked b=64/n_apps=2 and the declared limit (19.89M)
+        was exceeded by the measured 21.20M scoped usage
+        (bench/tpu_chain_tc3.log) — the double-buffered k-diagonal
+        coefficient block (2·k·B) was missing from _apply_need. Pin that
+        the new accounting dominates the measured usage with margin."""
+        from amg_ann_tpu.sparse import pallas_spmv as ps
+
+        k, r, halo = 87, 896, 28
+        for x_zero, want_res in ((False, False), (True, True)):
+            b = ps.smooth_apply_block_rows(k, r, tuple(range(-43, 44)),
+                                           n_apps=2, x_zero=x_zero,
+                                           want_res=want_res)
+            # stays feasible (datagen must not fall back at this size) …
+            assert b is not None and r % b == 0
+        n_vec, n_out = 3, 2
+        need = ps._apply_need(k, n_vec, n_out, 64, 2 * halo)
+        # … and the declared limit dominates the 21.20M measured actual
+        assert ps._vmem_limit(need) > int(1.05 * 21.20 * 2**20)
+        assert ps._vmem_limit(need) <= ps._VMEM_HARD_CAP
