@@ -32,6 +32,13 @@ from ..sparse.csr import CSR
 from .amg_solver import _jit_solve
 
 
+# Outer-residual arithmetic: "f64" = emulated double (original path),
+# "ds" = double-single two-f32 Pallas/jnp (sparse/double_single.py —
+# no hardware f64 needed, ~f32 speed), "auto" = ds on TPU backends when
+# the operator has DIA structure, f64 elsewhere (CPU f64 is native).
+IR_RESIDUAL_MODE = "auto"
+
+
 @dataclasses.dataclass
 class IRResult:
     x: np.ndarray
@@ -48,7 +55,7 @@ class IRResult:
 def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
              inner_rtol=1e-4, inner_maxiter=60, max_outer=20,
              hierarchy=None, grid_shape=None, equilibrate=None,
-             **kw) -> IRResult:
+             residual_mode=None, **kw) -> IRResult:
     """Solve A x = b to rtol (f64 true residual) with an f32 hierarchy.
 
     grid_shape: when given, build the structured (all-banded, gather-free)
@@ -94,40 +101,17 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
         hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
-    x64 = jax.config.read("jax_enable_x64")
-    hi_dtype = jnp.float64 if x64 else jnp.float32
-    if not x64 and rtol < 1e-6:
-        # hard requirement, not a hint: without a REAL f64 outer
-        # residual the Richardson iteration stalls at ~κ·ε_f32 — at 129³
-        # jumping-coefficient scale that's far above 1e-8 (round-2 late
-        # findings). Failing fast beats a silent non-converging burn.
-        raise RuntimeError(
-            "ir_solve: jax_enable_x64 is off, so the f64 outer residual "
-            f"would run in f32 — rtol={rtol:g} is unreachable on ill-"
-            "conditioned systems. Enable x64 first "
-            '(jax.config.update("jax_enable_x64", True)), or relax '
-            "rtol to ≥1e-6 for a single-precision solve.")
-    # f64 outer residual: use the banded (gather-free) path when the matrix
-    # has DIA structure — the emulated-f64 gather SpMV would otherwise
-    # dominate the whole solve on TPU
-    from ..sparse.dia import from_csr_dia
-    from .ops import op_matvec
-
-    a_hi = from_csr_dia(a, dtype=hi_dtype, max_offsets=64)
-    if a_hi is None:
-        a_hi = ell_mod.from_csr(a, dtype=hi_dtype)
-    b_hi = jnp.asarray(np.asarray(b), dtype=hi_dtype)
-    norm_b = float(jnp.linalg.norm(b_hi))
+    fn, args, combine = ir_device_args(
+        hierarchy, a, np.asarray(b), rtol, inner_rtol=inner_rtol,
+        max_outer=max_outer, inner_maxiter=inner_maxiter,
+        mode=residual_mode)
+    norm_b = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
     if norm_b == 0.0:
         norm_b = 1.0
 
-    a32 = hierarchy.device.levels[0].a
-
     t0 = time.perf_counter()
-    x, hist_dev, outers, inners = _ir_device(
-        hierarchy.device, a32, a_hi, b_hi,
-        jnp.asarray(rtol, hi_dtype), jnp.float32(inner_rtol),
-        max_outer, inner_maxiter)
+    out = fn(*args)
+    x, hist_dev, outers, inners = combine(out)
     # single host sync at the end — the whole refinement ran on device
     x = np.asarray(x)
     t_solve = (time.perf_counter() - t0) * 1e6
@@ -149,6 +133,121 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
         res_history=hist, converged=bool(true_res <= rtol),
         t_setup=t_setup, t_solve=t_solve, hierarchy=hierarchy,
     )
+
+
+def ir_device_args(hierarchy, a, b, rtol, *, inner_rtol=1e-4, max_outer=20,
+                   inner_maxiter=60, mode=None):
+    """Prepare the one-jit whole-refinement invocation.
+
+    Returns (fn, args, combine): `fn(*args)` runs the complete IR on
+    device (re-invocable back-to-back for sustained benchmarking);
+    `combine(out)` fetches (x_numpy, hist_device, outers, inners).
+    Dispatches the outer-residual arithmetic per IR_RESIDUAL_MODE."""
+    x64 = jax.config.read("jax_enable_x64")
+    mode = IR_RESIDUAL_MODE if mode is None else mode
+    a_ds = None
+    if mode in ("ds", "auto"):
+        from ..sparse.double_single import from_csr_ds
+
+        a_ds = from_csr_ds(a, max_offsets=128)
+        if mode == "ds" and a_ds is None:
+            raise ValueError(
+                "IR_RESIDUAL_MODE='ds' needs a DIA-structured operator")
+    use_ds = a_ds is not None and (
+        mode == "ds"
+        or jax.default_backend() in ("tpu", "axon")
+        or not x64)
+
+    a32 = hierarchy.device.levels[0].a
+    if use_ds:
+        from ..sparse.double_single import ds_split
+
+        ah, al = a_ds
+        bh_np, bl_np = ds_split(np.asarray(b, dtype=np.float64))
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
+                      and ah.cols == 128)
+        args = (hierarchy.device, a32, ah, al, jnp.asarray(bh_np),
+                jnp.asarray(bl_np), jnp.float32(rtol),
+                jnp.float32(inner_rtol), max_outer, inner_maxiter,
+                use_pallas)
+
+        def combine(out):
+            xh, xl, hist, outers, inners = out
+            x = (np.asarray(xh).astype(np.float64)
+                 + np.asarray(xl).astype(np.float64))
+            return x, hist, outers, inners
+
+        return _ir_device_ds, args, combine
+
+    if not x64 and rtol < 1e-6:
+        # hard requirement, not a hint: without a REAL f64 (or ds) outer
+        # residual the Richardson iteration stalls at ~κ·ε_f32 — at 129³
+        # jumping-coefficient scale that's far above 1e-8 (round-2 late
+        # findings). Failing fast beats a silent non-converging burn.
+        raise RuntimeError(
+            "ir_solve: jax_enable_x64 is off and the operator has no DIA "
+            "structure for the double-single residual, so the outer "
+            f"residual would run in f32 — rtol={rtol:g} is unreachable "
+            "on ill-conditioned systems. Enable x64 first "
+            '(jax.config.update("jax_enable_x64", True)), or relax '
+            "rtol to ≥1e-6 for a single-precision solve.")
+    # f64 outer residual: use the banded (gather-free) path when the
+    # matrix has DIA structure — the emulated-f64 gather SpMV would
+    # otherwise dominate the whole solve on TPU
+    from ..sparse.dia import from_csr_dia
+
+    hi_dtype = jnp.float64 if x64 else jnp.float32
+    a_hi = from_csr_dia(a, dtype=hi_dtype, max_offsets=64)
+    if a_hi is None:
+        a_hi = ell_mod.from_csr(a, dtype=hi_dtype)
+    b_hi = jnp.asarray(np.asarray(b), dtype=hi_dtype)
+    args = (hierarchy.device, a32, a_hi, b_hi, jnp.asarray(rtol, hi_dtype),
+            jnp.float32(inner_rtol), max_outer, inner_maxiter)
+
+    def combine(out):
+        x, hist, outers, inners = out
+        return np.asarray(x), hist, outers, inners
+
+    return _ir_device, args, combine
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer", "inner_maxiter",
+                                             "use_pallas"))
+def _ir_device_ds(device_h, a32, ah, al, bh, bl, rtol, inner_rtol,
+                  max_outer, inner_maxiter, use_pallas):
+    """Whole iterative refinement with the double-single (two-f32) outer
+    residual — no f64 anywhere (TPU-native; works with x64 off)."""
+    from ..sparse.double_single import (dia_residual_ds,
+                                        dia_residual_ds_ref, ds_add)
+
+    norm_b = jnp.linalg.norm(bh)
+    norm_b = jnp.where(norm_b == 0, 1.0, norm_b).astype(jnp.float32)
+    hist = jnp.full(max_outer + 1, jnp.nan, dtype=jnp.float32)
+    hist = hist.at[0].set(norm_b)
+
+    def residual(xh, xl):
+        if use_pallas:
+            return dia_residual_ds(ah, al, xh, xl, bh, bl)
+        return dia_residual_ds_ref(ah, al, xh, xl, bh, bl)
+
+    def cond(state):
+        xh, xl, rh, rl, k, inner, h = state
+        return (jnp.linalg.norm(rh) > rtol * norm_b) & (k < max_outer)
+
+    def body(state):
+        xh, xl, rh, rl, k, inner, h = state
+        res = _jit_solve(device_h, a32, rh,
+                         jnp.zeros(rh.shape, dtype=jnp.float32),
+                         jnp.float32(0.0), inner_rtol, inner_maxiter)
+        xh, xl = ds_add(xh, xl, res.x, jnp.zeros_like(res.x))
+        rh, rl = residual(xh, xl)
+        h = h.at[k + 1].set(jnp.linalg.norm(rh))
+        return xh, xl, rh, rl, k + 1, inner + res.niters, h
+
+    z = jnp.zeros_like(bh)
+    state = (z, z, bh, bl, jnp.int32(0), jnp.int32(0), hist)
+    xh, xl, rh, rl, k, inner, hist = jax.lax.while_loop(cond, body, state)
+    return xh, xl, hist, k, inner
 
 
 @functools.partial(jax.jit, static_argnames=("max_outer", "inner_maxiter"))

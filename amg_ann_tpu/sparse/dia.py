@@ -68,12 +68,12 @@ def num_offsets(a: CSR) -> int:
     return np.unique(cols - rows).size
 
 
-def from_csr_dia(a: CSR, dtype=None, cols: int = 128,
-                 max_offsets: int | None = None) -> DIA | None:
-    """Convert a square CSR to DIA, or None if it has too many offsets.
-
-    Zero-valued stored entries are dropped (they carry no information for
-    SpMV and would add offsets)."""
+def csr_to_dia_host(a: CSR, dtype=None, cols: int = 128,
+                    max_offsets: int | None = None):
+    """Host-side DIA conversion: (data (K, R, cols) numpy, offsets, n,
+    nnz), or None if non-square / too many offsets. Zero-valued stored
+    entries are dropped (they carry no information for SpMV and would
+    add offsets)."""
     if a.nrows != a.ncols:
         return None
     if dtype is None:
@@ -90,11 +90,19 @@ def from_csr_dia(a: CSR, dtype=None, cols: int = 128,
     k_of = {int(o): k for k, o in enumerate(offs)}
     ks = np.array([k_of[int(o)] for o in (cls - rows)], dtype=np.int64)
     data[ks, rows] = vals
-    return DIA(
-        data=jnp.asarray(data.reshape(-1, r, cols)),
-        offsets=tuple(int(o) for o in offs),
-        n=n, nnz=int(keep.sum()),
-    )
+    return (data.reshape(-1, r, cols), tuple(int(o) for o in offs), n,
+            int(keep.sum()))
+
+
+def from_csr_dia(a: CSR, dtype=None, cols: int = 128,
+                 max_offsets: int | None = None) -> DIA | None:
+    """Convert a square CSR to DIA, or None if it has too many offsets."""
+    host = csr_to_dia_host(a, dtype=dtype, cols=cols,
+                           max_offsets=max_offsets)
+    if host is None:
+        return None
+    data, offs, n, nnz = host
+    return DIA(data=jnp.asarray(data), offsets=offs, n=n, nnz=nnz)
 
 
 def _rolled(x2, o: int, c: int):

@@ -163,24 +163,21 @@ def main():
     # ~50-100 ms per host round trip, which would otherwise dominate a
     # ~5 ms solve (production = a stream of solves, so sustained
     # throughput is the honest figure)
-    import jax.numpy as jnp
-
-    from amg_ann_tpu.solvers.refine import _ir_device
-    from amg_ann_tpu.sparse.dia import from_csr_dia
+    from amg_ann_tpu.solvers.refine import ir_device_args
 
     K = int(os.environ.get("BENCH_REPS", "10"))
-    hi_dtype = jnp.float64
-    a_hi = from_csr_dia(a, dtype=hi_dtype, max_offsets=64)
-    b_hi = jnp.asarray(b, dtype=hi_dtype)
-    args = (h.device, h.device.levels[0].a, a_hi, b_hi,
-            jnp.asarray(RTOL, hi_dtype), jnp.float32(1e-4), 20, 60)
-    out = _ir_device(*args)
+    # BENCH_IR_MODE overrides the outer-residual arithmetic ("ds" two-f32
+    # Pallas / "f64" emulated double / "auto")
+    ir_fn, args, _combine = ir_device_args(
+        h, a, b, RTOL, inner_rtol=1e-4, max_outer=20, inner_maxiter=60,
+        mode=os.environ.get("BENCH_IR_MODE"))
+    out = ir_fn(*args)
     jax.block_until_ready(out)          # warm this exact executable
     from amg_ann_tpu.utils.profiling import trace_if
 
     t0 = time.perf_counter()
     with trace_if(os.environ.get("BENCH_PROFILE")):
-        outs = [_ir_device(*args) for _ in range(K)]
+        outs = [ir_fn(*args) for _ in range(K)]
         jax.block_until_ready(outs[-1])
     t_solve = (time.perf_counter() - t0) / K
 
