@@ -59,6 +59,12 @@ class AMGParams:
     # interp_weights_boxmg), "operator" = θ-filtered Ruge–Stüben direct
     # weights (the round-2 baseline), "trilinear" = fixed geometric weights
     structured_interp: str = "boxmg"
+    # classical-path device operator format: "well" = windowed ELL with
+    # the gather-free Pallas SpMV + bandwidth-reducing RCM reorder
+    # (sparse/well.py — the TPU path for UNSTRUCTURED matrices), "ell" =
+    # plain padded ELL (XLA gather; CPU parity path), "auto" = well on
+    # TPU backends, ell elsewhere
+    device_format: str = "auto"
     cycle_type: str = "V"       # "V" | "W" (γ=2 coarse recursions)
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
@@ -82,7 +88,7 @@ class AMGParams:
             max_levels=0, max_coarse_size=0, trunc_factor=0.0,
             p_max_elements=0, shape_buckets=False, seed=0,
             symmetric_operator=True, structured_interp="operator",
-            dense_coarse_threshold=0)
+            dense_coarse_threshold=0, device_format="auto")
 
     def __post_init__(self):
         if self.smoother not in self._SMOOTHERS:
@@ -99,6 +105,10 @@ class AMGParams:
             raise ValueError(
                 f"structured_interp must be 'boxmg', 'operator' or "
                 f"'trilinear', got {self.structured_interp!r}")
+        if self.device_format not in ("auto", "ell", "well"):
+            raise ValueError(
+                f"device_format must be 'auto', 'ell' or 'well', "
+                f"got {self.device_format!r}")
 
 
 @struct.dataclass
@@ -118,6 +128,11 @@ class DeviceHierarchy:
     levels: tuple            # tuple[DeviceLevel]
     coarse_inv: jax.Array    # dense inverse of the coarsest operator
     params: AMGParams = struct.field(pytree_node=False)
+    # level-0 bandwidth-reducing permutation (WELL format): the device
+    # hierarchy solves in permuted variables; _jit_solve applies
+    # b[perm] on entry and x[iperm] on exit. None = identity.
+    perm: Optional[jax.Array] = None     # (n_dev,) int32
+    iperm: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -260,7 +275,110 @@ def _pad1(v, n_pad):
     return out
 
 
+def _resolve_format(params: AMGParams) -> str:
+    if params.device_format != "auto":
+        return params.device_format
+    try:
+        return ("well" if jax.default_backend() in ("tpu", "axon")
+                else "ell")
+    except Exception:  # pragma: no cover
+        return "ell"
+
+
+def _to_device_well(a_mats, p_mats, params: AMGParams,
+                    dtype) -> DeviceHierarchy:
+    """WELL-format device hierarchy: every non-dense level stores A (and
+    its transfers) as windowed ELL in a bandwidth-reduced ordering —
+    the gather-free unstructured TPU path (sparse/well.py)."""
+    from ..sparse import well as well_mod
+
+    L = len(a_mats)
+    thresh = params.dense_coarse_threshold
+    dense_flags = [0 < a.nrows <= thresh and l > 0
+                   for l, a in enumerate(a_mats)]
+    perms, a_perm = [], []
+    for l, a_l in enumerate(a_mats):
+        p = None if dense_flags[l] else well_mod.best_perm(a_l)
+        perms.append(p)
+        a_perm.append(well_mod.permute_sym(a_l, p) if p is not None
+                      else a_l)
+
+    def vec_len(l):
+        return -(-max(a_mats[l].nrows, 1) // well_mod.BLOCK) \
+            * well_mod.BLOCK
+
+    def _pad_dense(m, rp, cp):
+        out = np.zeros((rp, cp), dtype=dtype)
+        out[: m.shape[0], : m.shape[1]] = m
+        return jnp.asarray(out)
+
+    levels = []
+    for l, a_l in enumerate(a_perm):
+        diag = a_l.diagonal()
+        inv_diag = np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag),
+                            0.0)
+        rows, _, vals = a_l.row_expand()
+        l1 = np.zeros(a_l.nrows)
+        np.add.at(l1, rows, np.abs(vals))
+        inv_l1 = np.where(l1 != 0, 1.0 / np.where(l1 == 0, 1, l1), 0.0)
+        lam = _estimate_lam_max(a_l, inv_diag)
+        has_next = l < L - 1
+        n_pad = vec_len(l)
+        if dense_flags[l]:
+            n_next = a_mats[l + 1].nrows if has_next else 0
+            a_op = ell_mod.DenseOp(
+                m=_pad_dense(a_l.to_dense(), n_pad, n_pad),
+                nrows=a_l.nrows, ncols=a_l.nrows)
+            p_op = (ell_mod.DenseOp(
+                m=_pad_dense(p_mats[l].to_dense(), n_pad, vec_len(l + 1)),
+                nrows=p_mats[l].nrows, ncols=n_next) if has_next else None)
+            r_op = (ell_mod.DenseOp(
+                m=_pad_dense(p_mats[l].to_dense().T, vec_len(l + 1), n_pad),
+                nrows=n_next, ncols=p_mats[l].nrows) if has_next else None)
+        else:
+            a_op = well_mod.from_csr(a_l, dtype=dtype)
+            p_op = r_op = None
+            if has_next:
+                p_pm = well_mod.permute(p_mats[l], perms[l], perms[l + 1])
+                r_pm = well_mod.permute(p_mats[l].transpose(),
+                                        perms[l + 1], perms[l])
+                p_op = well_mod.from_csr(p_pm, dtype=dtype)
+                r_op = well_mod.from_csr(r_pm, dtype=dtype)
+        levels.append(DeviceLevel(
+            a=a_op, p=p_op, r=r_op,
+            inv_diag=jnp.asarray(_pad1(inv_diag, n_pad), dtype=dtype),
+            inv_l1=jnp.asarray(_pad1(inv_l1, n_pad), dtype=dtype),
+            lam_max=jnp.asarray(lam, dtype=dtype),
+        ))
+
+    coarse = a_perm[-1].to_dense().astype(np.float64)
+    try:
+        coarse_inv = np.linalg.inv(coarse)
+    except np.linalg.LinAlgError:
+        coarse_inv = np.linalg.pinv(coarse)
+    ncp = vec_len(L - 1)
+    padded = np.zeros((ncp, ncp))
+    padded[: coarse.shape[0], : coarse.shape[0]] = coarse_inv
+    perm_dev = iperm_dev = None
+    if perms[0] is not None:
+        n0, nd0 = a_mats[0].nrows, vec_len(0)
+        perm_full = np.concatenate(
+            [perms[0], np.arange(n0, nd0)]).astype(np.int32)
+        iperm_full = np.empty(nd0, dtype=np.int32)
+        iperm_full[perm_full] = np.arange(nd0, dtype=np.int32)
+        perm_dev = jnp.asarray(perm_full)
+        iperm_dev = jnp.asarray(iperm_full)
+    return DeviceHierarchy(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(padded.astype(dtype)),
+        params=params.solve_view(),
+        perm=perm_dev, iperm=iperm_dev,
+    )
+
+
 def _to_device(a_mats, p_mats, params: AMGParams, dtype) -> DeviceHierarchy:
+    if _resolve_format(params) == "well":
+        return _to_device_well(a_mats, p_mats, params, dtype)
     bucketed = params.shape_buckets
     levels = []
     for l, a_l in enumerate(a_mats):

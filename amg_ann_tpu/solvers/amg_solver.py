@@ -53,7 +53,7 @@ _SETUP_FIELDS = ("strong_threshold", "max_row_sum",
                  "aggressive_coarsening_num_levels", "max_levels",
                  "max_coarse_size", "trunc_factor", "p_max_elements",
                  "symmetric_operator", "seed", "structured_interp",
-                 "dense_coarse_threshold")
+                 "dense_coarse_threshold", "device_format")
 
 
 def _apply_solve_params(hierarchy, params: AMGParams):
@@ -89,9 +89,19 @@ def _apply_solve_params(hierarchy, params: AMGParams):
 def _jit_solve(device_h, a_op, b, x0, tol, rtol, maxiter):
     from .ops import op_matvec
 
+    # WELL hierarchies solve in bandwidth-reduced (RCM) variables; the
+    # permutation is two O(n) gathers off the iteration hot loop.
+    # (structured hierarchies have no perm field — getattr, not attribute)
+    perm = getattr(device_h, "perm", None)
+    if perm is not None:
+        b = jnp.take(b, perm)
+        x0 = jnp.take(x0, perm)
     matvec = lambda v: op_matvec(a_op, v)
     precond = lambda r: vcycle(device_h, r)
-    return pcg(matvec, precond, b, x0, tol=tol, rtol=rtol, maxiter=maxiter)
+    res = pcg(matvec, precond, b, x0, tol=tol, rtol=rtol, maxiter=maxiter)
+    if perm is not None:
+        res = res._replace(x=jnp.take(res.x, device_h.iperm))
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter",))
@@ -99,10 +109,17 @@ def _jit_solve_batched(device_h, a_op, b, x0, tol, rtol, maxiter):
     from .krylov import pcg_batched
     from .ops import op_matvec
 
+    perm = getattr(device_h, "perm", None)
+    if perm is not None:
+        b = jnp.take(b, perm, axis=1)
+        x0 = jnp.take(x0, perm, axis=1)
     matvec = jax.vmap(lambda v: op_matvec(a_op, v))
     precond = jax.vmap(lambda r: vcycle(device_h, r))
-    return pcg_batched(matvec, precond, b, x0, tol=tol, rtol=rtol,
-                       maxiter=maxiter)
+    res = pcg_batched(matvec, precond, b, x0, tol=tol, rtol=rtol,
+                      maxiter=maxiter)
+    if perm is not None:
+        res = res._replace(x=jnp.take(res.x, device_h.iperm, axis=1))
+    return res
 
 
 def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
@@ -134,15 +151,15 @@ def amg_solve(a: CSR, b, params: AMGParams | None = None, *, tol: float = 1e-8,
         hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
-    from ..sparse.dia import DIA
-    from ..sparse.ell import ELL
+    from .ops import op_padded_rows
 
     a_ell = hierarchy.device.levels[0].a
     dtype = a_ell.data.dtype
     # vectors live at the device row count (== n, or the bucket-padded
-    # count under AMGParams.shape_buckets; padded entries stay zero).
-    # DIA handles its own internal padding, so its vector length is n.
-    n_dev = a_ell.data.shape[0] if isinstance(a_ell, ELL) else n
+    # count under AMGParams.shape_buckets / WELL's 1024-row blocks;
+    # padded entries stay zero). DIA handles its own internal padding,
+    # so its vector length is n.
+    n_dev = op_padded_rows(a_ell) or n
     b_np = np.asarray(b)
     if b_np.shape[0] != n_dev:
         b_np = np.concatenate([b_np, np.zeros(n_dev - b_np.shape[0])])
@@ -213,11 +230,11 @@ def amg_solve_batched(a: CSR, bs, params: AMGParams | None = None, *,
         hierarchy = _apply_solve_params(hierarchy, params)
     t_setup = (time.perf_counter() - t0) * 1e6
 
-    from ..sparse.ell import ELL
+    from .ops import op_padded_rows
 
     a_ell = hierarchy.device.levels[0].a
     dtype = a_ell.data.dtype
-    n_dev = a_ell.data.shape[0] if isinstance(a_ell, ELL) else n
+    n_dev = op_padded_rows(a_ell) or n
     if bs_np.shape[1] != n_dev:
         bs_np = np.concatenate(
             [bs_np, np.zeros((bs_np.shape[0], n_dev - bs_np.shape[1]))],

@@ -46,13 +46,17 @@ def _use_pallas(op) -> bool:
 
 
 def op_matvec(op, x):
-    """y = op @ x for ELL, DIA, or shard-local HaloDIA operands."""
+    """y = op @ x for ELL, WELL, DIA, or shard-local HaloDIA operands."""
     if isinstance(op, DIA):
         if _use_pallas(op):
             return dia_spmv_fast(op, x)
         return dia_spmv(op, x)
     if isinstance(op, ELL):
         return ell_spmv(op, x)
+    from ..sparse.well import WELL, spmv as well_spmv
+
+    if isinstance(op, WELL):
+        return well_spmv(op, x)
     if isinstance(op, DenseOp):
         return dense_matvec(op, x)
     from ..dist.halo import HaloDIA
@@ -60,6 +64,20 @@ def op_matvec(op, x):
     if isinstance(op, HaloDIA):
         return op.matvec(x)
     raise TypeError(f"unknown operator type {type(op)!r}")
+
+
+def op_padded_rows(op):
+    """Device vector length an operator's matvec produces/expects on the
+    row side, or None when vectors live at the true row count (DIA)."""
+    from ..sparse.well import WELL
+
+    if isinstance(op, ELL):
+        return op.data.shape[0]
+    if isinstance(op, WELL):
+        return op.padded_rows
+    if isinstance(op, DenseOp):
+        return op.m.shape[0]
+    return None
 
 
 def op_cheb_sweep(op, x, r, d, s, coefs):

@@ -230,15 +230,26 @@ def _ir_device_ds(device_h, a32, ah, al, bh, bl, rtol, inner_rtol,
             return dia_residual_ds(ah, al, xh, xl, bh, bl)
         return dia_residual_ds_ref(ah, al, xh, xl, bh, bl)
 
+    from .ops import op_padded_rows
+
+    n = bh.shape[0]
+    nd = op_padded_rows(a32) or n     # device vector length (WELL pads)
+
+    def _inner(r):
+        rp = (r if nd == n else
+              jnp.concatenate([r, jnp.zeros(nd - n, dtype=r.dtype)]))
+        res = _jit_solve(device_h, a32, rp,
+                         jnp.zeros(rp.shape, dtype=jnp.float32),
+                         jnp.float32(0.0), inner_rtol, inner_maxiter)
+        return res._replace(x=res.x if nd == n else res.x[:n])
+
     def cond(state):
         xh, xl, rh, rl, k, inner, h = state
         return (jnp.linalg.norm(rh) > rtol * norm_b) & (k < max_outer)
 
     def body(state):
         xh, xl, rh, rl, k, inner, h = state
-        res = _jit_solve(device_h, a32, rh,
-                         jnp.zeros(rh.shape, dtype=jnp.float32),
-                         jnp.float32(0.0), inner_rtol, inner_maxiter)
+        res = _inner(rh)
         xh, xl = ds_add(xh, xl, res.x, jnp.zeros_like(res.x))
         rh, rl = residual(xh, xl)
         h = h.at[k + 1].set(jnp.linalg.norm(rh))
@@ -264,16 +275,26 @@ def _ir_device(device_h, a32, a_hi, b_hi, rtol, inner_rtol, max_outer,
     r0 = b_hi
     hist = hist.at[0].set(jnp.linalg.norm(r0))
 
+    from .ops import op_padded_rows
+
+    n = b_hi.shape[0]
+    nd = op_padded_rows(a32) or n     # device vector length (WELL pads)
+
     def cond(state):
         x, r, k, inner, h = state
         return (jnp.linalg.norm(r) > rtol * norm_b) & (k < max_outer)
 
     def body(state):
         x, r, k, inner, h = state
-        res = _jit_solve(device_h, a32, r.astype(jnp.float32),
-                         jnp.zeros(r.shape, dtype=jnp.float32),
+        r32 = r.astype(jnp.float32)
+        if nd != n:
+            r32 = jnp.concatenate(
+                [r32, jnp.zeros(nd - n, dtype=jnp.float32)])
+        res = _jit_solve(device_h, a32, r32,
+                         jnp.zeros(r32.shape, dtype=jnp.float32),
                          jnp.float32(0.0), inner_rtol, inner_maxiter)
-        x = x + res.x.astype(hi)
+        dx = res.x if nd == n else res.x[:n]
+        x = x + dx.astype(hi)
         r = b_hi - op_matvec(a_hi, x)
         h = h.at[k + 1].set(jnp.linalg.norm(r))
         return x, r, k + 1, inner + res.niters, h

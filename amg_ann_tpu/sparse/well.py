@@ -1,0 +1,320 @@
+"""WELL — windowed ELL: the TPU-fast sparse format for UNSTRUCTURED matrices.
+
+The classical (tc1 / unstructured-mesh) path stored operators as padded ELL
+and paid XLA's TPU gather for `x[cols]` — measured ~0.11 Gnnz/s, ~600× below
+HBM speed of light (CLAUDE.md measured facts). WELL replaces that gather
+with a Pallas kernel built on the one gather primitive Mosaic lowers fast:
+`tpu.dynamic_gather` along the 128-lane axis of a 2D tile
+(jnp.take_along_axis(src, idx, axis=1)).
+
+Layout (after a bandwidth-reducing RCM reorder of the matrix):
+
+  * rows are padded to BLOCK=1024-row blocks: lane l∈[0,128) × subrow
+    i∈[0,8) → row = 1024·b + 128·i + l.
+  * per row, K value slots (ELL width); slot k of the block is stored at
+    sublane-row u = k·8 + i  ⇒  data/lcol arrays are (nblk, K·8, 128).
+  * per block, a column WINDOW [128·w0(b), 128·(w0(b)+snum(b))) covers every
+    column the block touches; `lcol` stores column − 128·w0(b). After RCM
+    the window is O(matrix bandwidth) — that locality is what makes the
+    kernel fast.
+  * x lives in VMEM reshaped (nseg, 128). The kernel loops s over the
+    block's snum(b) window segments: broadcast x-segment s across sublanes,
+    lane-gather it at `lcol & 127`, and accumulate slots whose segment
+    (`lcol >> 7`) equals s. All arithmetic is full-width (K·8, 128) VPU ops.
+
+Cost: O(Σ_b snum(b) · K · 1024) VPU flops + one streaming pass over
+data/lcol — for FEM matrices with RCM bandwidth β this is ~4·K·β/128 ops
+per row, independent of XLA gather performance.
+
+Replaces the device-side role of PETSc MatMult inside KSP CG for the
+reference's unstructured testcase 1 (reference: common/amg_solver.h:54,
+testcase1-diffusion-unstructured/src/main.cpp — note the reference itself
+offers Cuthill–McKee renumbering, main.cpp:179-194; WELL makes that
+bandwidth structure a performance primitive).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .csr import CSR
+
+BLOCK = 1024          # rows per block: 8 subrows × 128 lanes
+_LANES = 128
+
+# full-x-in-VMEM budget: beyond this the reference (XLA gather) path runs.
+# v5e VMEM ≈ 64 MB/core but Mosaic scoped allocations + double-buffered
+# slot blocks need headroom; 16 MB of x covers n ≤ 4M dofs.
+X_VMEM_BYTES = int(16e6)
+
+
+def _ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@struct.dataclass
+class WELL:
+    """Windowed-ELL sparse matrix (device pytree; static shape metadata)."""
+
+    data: jax.Array   # (nblk, K*8, 128) values, 0 in padding slots
+    lcol: jax.Array   # (nblk, K*8, 128) int32 column − 128·w0[b]
+    w0: jax.Array     # (nblk,) int32 window start segment
+    snum: jax.Array   # (nblk,) int32 window length in segments
+    nrows: int = struct.field(pytree_node=False)   # true rows
+    ncols: int = struct.field(pytree_node=False)   # true cols
+    nnz: int = struct.field(pytree_node=False)
+    s_max: int = struct.field(pytree_node=False)   # max(snum) (static)
+
+    @property
+    def nblk(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[1] // 8
+
+    @property
+    def padded_rows(self) -> int:
+        return self.data.shape[0] * BLOCK
+
+    @property
+    def nseg(self) -> int:
+        """x storage segments (ncols padded up to the lane width)."""
+        return _ceil(max(self.ncols, 1), _LANES)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    def __matmul__(self, x):
+        return spmv(self, x)
+
+
+def rcm_perm(a: CSR) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering of a's symmetrized pattern.
+
+    perm[i] = original index placed at position i. RCM minimizes the
+    bandwidth WELL's window size (and hence kernel cost) scales with."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = sp.csr_matrix(
+        (np.ones(a.nnz, dtype=np.int8), a.indices, a.indptr), shape=a.shape)
+    return np.asarray(
+        reverse_cuthill_mckee(m, symmetric_mode=True), dtype=np.int64)
+
+
+def permute_sym(a: CSR, perm: np.ndarray) -> CSR:
+    """A[perm][:, perm] — symmetric reorder (solve in permuted variables)."""
+    return permute(a, perm, perm)
+
+
+def window_cost(a: CSR) -> int:
+    """Σ_b window segments — the kernel's VPU-work proxy for ordering
+    quality (cost ∝ Σ_b snum(b) · K)."""
+    if a.nnz == 0:
+        return 1
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), a.row_nnz)
+    b_of = rows // BLOCK
+    nblk = max(_ceil(max(a.nrows, 1), BLOCK), 1)
+    col_seg = (a.indices >> 7).astype(np.int64)
+    lo = np.full(nblk, np.iinfo(np.int64).max)
+    hi = np.zeros(nblk, dtype=np.int64)
+    np.minimum.at(lo, b_of, col_seg)
+    np.maximum.at(hi, b_of, col_seg)
+    lo = np.minimum(lo, hi)
+    return int(np.sum(hi - lo + 1))
+
+
+def best_perm(a: CSR, margin: float = 0.9):
+    """RCM permutation if it beats the natural ordering's window cost by
+    ≥10%, else None (identity) — FEM matrices often arrive already
+    bandwidth-ordered (the reference's own Cuthill–McKee renumbering,
+    testcase1 main.cpp:179-194)."""
+    base = window_cost(a)
+    perm = rcm_perm(a)
+    if window_cost(permute_sym(a, perm)) < margin * base:
+        return perm
+    return None
+
+
+def permute(a: CSR, row_perm, col_perm) -> CSR:
+    """A[row_perm][:, col_perm]; either may be None (identity)."""
+    rows, cols, vals = a.row_expand()
+    if row_perm is not None:
+        ir = np.empty(a.nrows, dtype=np.int64)
+        ir[row_perm] = np.arange(a.nrows)
+        rows = ir[rows]
+    if col_perm is not None:
+        ic = np.empty(a.ncols, dtype=np.int64)
+        ic[col_perm] = np.arange(a.ncols)
+        cols = ic[cols]
+    return CSR.from_coo(rows, cols, vals, a.shape, sum_duplicates=False)
+
+
+def from_csr(a: CSR, dtype=np.float32, k_align: int = 4,
+             s_granule: int = 4) -> WELL:
+    """Pack a (bandwidth-ordered) CSR matrix into WELL arrays.
+
+    k_align buckets the slot count, s_granule buckets s_max — both keep the
+    jit cache stable across the per-θ shape jitter of AMG sweep hierarchies
+    (hierarchy row counts vary slightly with θ; see AMGParams.shape_buckets).
+    """
+    nblk = max(_ceil(max(a.nrows, 1), BLOCK), 1)
+    row_nnz = a.row_nnz
+    k = int(row_nnz.max()) if a.nrows and a.nnz else 1
+    k = max(_ceil(max(k, 1), k_align) * k_align, k_align)
+
+    nseg = _ceil(max(a.ncols, 1), _LANES)
+    data = np.zeros((nblk, k, 8, _LANES), dtype=dtype)
+    lcol = np.zeros((nblk, k, 8, _LANES), dtype=np.int32)
+    w0 = np.zeros(nblk, dtype=np.int32)
+    snum = np.ones(nblk, dtype=np.int32)
+
+    rows = np.repeat(np.arange(a.nrows, dtype=np.int64), row_nnz)
+    pos = np.arange(a.nnz, dtype=np.int64) - np.repeat(a.indptr[:-1], row_nnz)
+    b_of = rows // BLOCK
+    # per-block window: [min_col >> 7, max_col >> 7]
+    if a.nnz:
+        col_seg = (a.indices >> 7).astype(np.int32)
+        w0 = np.full(nblk, nseg - 1, dtype=np.int32)
+        np.minimum.at(w0, b_of, col_seg)
+        s_hi = np.zeros(nblk, dtype=np.int32)
+        np.maximum.at(s_hi, b_of, col_seg)
+        snum = np.maximum(s_hi - w0 + 1, 1)
+    s_max = int(snum.max())
+    s_max = max(_ceil(s_max, s_granule) * s_granule, s_granule)
+    s_max = min(s_max, nseg)
+    # clamp windows inside x storage, then RE-derive window lengths — a
+    # clamped-down w0 widens the window its block must scan
+    w0 = np.minimum(w0, max(nseg - s_max, 0)).astype(np.int32)
+    if a.nnz:
+        snum = np.maximum(s_hi - w0 + 1, 1).astype(np.int32)
+
+    i_of = (rows % BLOCK) // _LANES
+    l_of = rows % _LANES
+    data[b_of, pos, i_of, l_of] = a.data
+    lcol[b_of, pos, i_of, l_of] = a.indices - (w0[b_of] << 7)
+    return WELL(
+        data=jnp.asarray(data.reshape(nblk, k * 8, _LANES)),
+        lcol=jnp.asarray(lcol.reshape(nblk, k * 8, _LANES)),
+        w0=jnp.asarray(w0),
+        snum=jnp.asarray(snum),
+        nrows=a.nrows, ncols=a.ncols, nnz=a.nnz, s_max=s_max,
+    )
+
+
+def to_csr(a: WELL) -> CSR:
+    """Unpack back to host CSR (drops padding slots; test utility)."""
+    nblk, k8, _ = a.data.shape
+    k = k8 // 8
+    data = np.asarray(a.data).reshape(nblk, k, 8, _LANES)
+    lcol = np.asarray(a.lcol).reshape(nblk, k, 8, _LANES)
+    w0 = np.asarray(a.w0)
+    b, kk, i, l = np.nonzero(data)
+    rows = b * BLOCK + i * _LANES + l
+    cols = lcol[b, kk, i, l] + (w0[b] << 7)
+    keep = rows < a.nrows
+    return CSR.from_coo(rows[keep], cols[keep], data[b, kk, i, l][keep],
+                        (a.nrows, a.ncols))
+
+
+def _x_segments(a: WELL, x: jax.Array) -> jax.Array:
+    """x as (nseg, 128), padded/sliced to the matrix's column storage."""
+    need = a.nseg * _LANES
+    n = x.shape[0]
+    if n < need:
+        x = jnp.concatenate([x, jnp.zeros(need - n, dtype=x.dtype)])
+    elif n > need:
+        x = x[:need]
+    return x.reshape(a.nseg, _LANES)
+
+
+def spmv_ref(a: WELL, x: jax.Array) -> jax.Array:
+    """Portable (XLA gather) y = A @ x — identical math to the kernel.
+
+    y has a.padded_rows entries (zeros beyond a.nrows)."""
+    xs = _x_segments(a, x).reshape(-1)
+    gcol = a.lcol + (a.w0[:, None, None] << 7)
+    prod = a.data * jnp.take(xs, gcol, axis=0)
+    nblk, k8, _ = a.data.shape
+    y = jnp.sum(prod.reshape(nblk, k8 // 8, 8, _LANES), axis=1)
+    return y.reshape(-1)
+
+
+def _spmv_kernel(w0_ref, snum_ref, x_ref, data_ref, lcol_ref, y_ref, *, k8):
+    b = pl.program_id(0)
+    w0 = w0_ref[b]
+    data = data_ref[0]                       # (K*8, 128)
+    lcol = lcol_ref[0]
+    lane = jnp.bitwise_and(lcol, _LANES - 1)
+    seg = jnp.right_shift(lcol, 7)
+
+    def body(s, acc):
+        xrow = x_ref[w0 + s, :]                              # (128,)
+        src = jnp.broadcast_to(xrow[None, :], (k8, _LANES))
+        g = jnp.take_along_axis(src, lane, axis=1)
+        return acc + jnp.where(seg == s, data * g, 0.0)
+
+    acc = jax.lax.fori_loop(0, snum_ref[b], body,
+                            jnp.zeros((k8, _LANES), data.dtype))
+    y_ref[0] = jnp.sum(acc.reshape(k8 // 8, 8, _LANES), axis=0)
+
+
+try:  # import guard keeps CPU-only environments importable
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_pallas(a: WELL, x: jax.Array, interpret: bool = False):
+    xs = _x_segments(a, x)
+    nblk, k8, _ = a.data.shape
+    kern = functools.partial(_spmv_kernel, k8=k8)
+    y = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k8, _LANES), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, k8, _LANES), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, _LANES), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblk, 8, _LANES), a.data.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a.w0, a.snum, xs, a.data, a.lcol)
+    return y.reshape(-1)
+
+
+def fits_vmem(a: WELL) -> bool:
+    """True when x + the slot blocks fit the kernel's VMEM budget."""
+    x_bytes = a.nseg * _LANES * 4
+    blk_bytes = 2 * 2 * a.data.shape[1] * _LANES * 4   # data+lcol, 2-stage
+    return _HAVE_PALLAS and (x_bytes + blk_bytes) <= X_VMEM_BYTES
+
+
+def spmv(a: WELL, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """y = A @ x, dispatched: Pallas kernel on TPU backends (or in
+    interpret mode for tests), XLA-gather reference elsewhere."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if (on_tpu or interpret) and fits_vmem(a) \
+            and a.data.dtype == jnp.float32:
+        return _spmv_pallas(a, x, interpret=interpret and not on_tpu)
+    return spmv_ref(a, x)
