@@ -37,6 +37,26 @@ def dia_halo(offsets) -> int:
     return max((abs(int(o)) for o in offsets), default=1)
 
 
+# Measurement switch (trace-time static): True replaces every halo
+# ppermute / tail all-gather with a local stand-in of identical shape and
+# FLOP cost, isolating communication time by A/B at fixed iteration count
+# (dist/multihost.comm_breakdown). Results are numerically wrong in this
+# mode — it exists only for timing.
+COMM_OFF = False
+
+
+def maybe_ppermute(x, axis, pairs):
+    if COMM_OFF:
+        return jnp.zeros_like(x)
+    return jax.lax.ppermute(x, axis, pairs)
+
+
+def maybe_all_gather(x, axis, ndev: int):
+    if COMM_OFF:
+        return jnp.tile(x, ndev)
+    return jax.lax.all_gather(x, axis, tiled=True)
+
+
 def _local_spmv(data_loc, x_loc, from_left, from_right, offsets,
                 halo: int, nb: int):
     """y = A_loc @ [from_left | x_loc | from_right], overlap-friendly.
@@ -94,8 +114,8 @@ class HaloDIA:
     def matvec(self, x_loc):
         fwd = [(i, (i + 1) % self.ndev) for i in range(self.ndev)]
         bwd = [(i, (i - 1) % self.ndev) for i in range(self.ndev)]
-        from_left = jax.lax.ppermute(x_loc[-self.halo:], self.axis, fwd)
-        from_right = jax.lax.ppermute(x_loc[:self.halo], self.axis, bwd)
+        from_left = maybe_ppermute(x_loc[-self.halo:], self.axis, fwd)
+        from_right = maybe_ppermute(x_loc[:self.halo], self.axis, bwd)
         return _local_spmv(self.data, x_loc, from_left, from_right,
                            self.offsets, self.halo, x_loc.shape[0])
 

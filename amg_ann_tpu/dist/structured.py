@@ -46,7 +46,7 @@ from ..solvers.cycle import vcycle
 from ..solvers.krylov import PCGResult, pcg
 from ..solvers.ops import op_matvec
 from ..solvers.smoothers import smooth_rx
-from .halo import HaloDIA
+from .halo import HaloDIA, maybe_all_gather, maybe_ppermute
 
 AXIS = "rows"
 
@@ -184,7 +184,7 @@ def _restrict_local(r_loc, lev: ShardedLevel, axis: str):
     ndev = lev.a.ndev
     nxl = nx // ndev
     r3 = r_loc.reshape(nxl, ny, nz)
-    right = jax.lax.ppermute(r3[:1], axis, _ring(ndev, -1))
+    right = maybe_ppermute(r3[:1], axis, _ring(ndev, -1))
     r_ext = jnp.concatenate([r3, right], axis=0)         # (nxl+1, ny, nz)
     w_loc = lev.p_w_halo[:, 0]                           # (27, nxl+1, ny, nz)
     return restrict_w(r_ext.reshape(-1), w_loc, (nxl + 1, ny, nz),
@@ -206,7 +206,7 @@ def _prolongate_local(c_loc, lev: ShardedLevel, axis: str):
     my = ny // 2 if sy == 2 else ny
     mz = nz // 2 if sz == 2 else nz
     c3 = c_loc.reshape(mxl, my, mz)
-    left = jax.lax.ppermute(c3[-1:], axis, _ring(ndev, +1))
+    left = maybe_ppermute(c3[-1:], axis, _ring(ndev, +1))
     # wrap garbage reaching device 0 is annihilated: its first fine plane
     # is global x=0, whose dx=-1 weights are zero (boundary) by geo mask
     # interleave y/z exactly like the single-device inject
@@ -235,7 +235,7 @@ def _prolongate_local(c_loc, lev: ShardedLevel, axis: str):
 def _local_cycle(dh: DistStructuredHierarchy, params, l, b_loc, axis):
     if l == len(dh.sharded):
         # replicated tail: one all-gather, plain V-cycle, slice back
-        b_full = jax.lax.all_gather(b_loc, axis, tiled=True)
+        b_full = maybe_all_gather(b_loc, axis, dh.ndev)
         x_full = vcycle(dh.tail, b_full)
         k = jax.lax.axis_index(axis)
         n_loc = b_loc.shape[0]

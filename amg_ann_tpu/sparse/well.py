@@ -256,12 +256,15 @@ def _spmv_kernel(w0_ref, snum_ref, x_ref, data_ref, lcol_ref, y_ref, *, k8):
     seg = jnp.right_shift(lcol, 7)
 
     def body(s, acc):
+        # pin the loop index to int32 — under jax_enable_x64 the induction
+        # variable would otherwise trace as int64, which Mosaic rejects
+        s = s.astype(jnp.int32)
         xrow = x_ref[w0 + s, :]                              # (128,)
         src = jnp.broadcast_to(xrow[None, :], (k8, _LANES))
         g = jnp.take_along_axis(src, lane, axis=1)
         return acc + jnp.where(seg == s, data * g, 0.0)
 
-    acc = jax.lax.fori_loop(0, snum_ref[b], body,
+    acc = jax.lax.fori_loop(jnp.int32(0), snum_ref[b], body,
                             jnp.zeros((k8, _LANES), data.dtype))
     y_ref[0] = jnp.sum(acc.reshape(k8 // 8, 8, _LANES), axis=0)
 

@@ -174,6 +174,12 @@ def config4_smoother_battle(out, n=64):
     for sm in ("chebyshev", "l1jacobi"):
         params = AMGParams(strong_threshold=0.9, smoother=sm,
                            dtype=np.float32, max_coarse_size=2048)
+        # first build pays compiles (whichever smoother runs first in
+        # this loop eats the cold-cache cost — the r3 "Chebyshev setup
+        # anomaly" was exactly this ordering artifact); the SECOND build
+        # is the honest θ-marginal setup both smoothers should tie on
+        h = setup_structured(a, (n, n, n), params)
+        t_cold = h.stats.t_setup
         h = setup_structured(a, (n, n, n), params)
         best = None
         for rep in range(4):
@@ -183,6 +189,7 @@ def config4_smoother_battle(out, n=64):
                 best = r              # rep 0 = warm/compile
         rec[sm] = dict(t_solve_s=best.t_solve / 1e6,
                        t_setup_s=h.stats.t_setup,
+                       t_setup_cold_s=t_cold,
                        inner_iters=best.inner_iters,
                        outer_iters=best.outer_iters,
                        converged=bool(best.converged),

@@ -40,9 +40,12 @@ def worker(args):
 
         initialize(coordinator_address=args.coord,
                    num_processes=args.procs, process_id=args.pid)
-    from amg_ann_tpu.dist.multihost import measure_mesh
+    from amg_ann_tpu.dist.multihost import comm_breakdown, measure_mesh
 
-    rep = measure_mesh(n=args.n, rtol=args.rtol)
+    if args.breakdown:
+        rep = comm_breakdown(n=args.n, iters=args.iters)
+    else:
+        rep = measure_mesh(n=args.n, rtol=args.rtol)
     if jax.process_index() == 0:
         with open(args.result, "w") as f:
             json.dump(rep, f)
@@ -61,7 +64,9 @@ def spawn(phase_procs, local_devices, args, result_path):
                "--procs", str(phase_procs), "--pid", str(pid),
                "--coord", args.coord, "--n", str(args.n),
                "--rtol", str(args.rtol), "--platform", args.platform,
-               "--result", result_path]
+               "--iters", str(args.iters),
+               "--result", result_path] \
+              + (["--breakdown"] if args.breakdown else [])
         procs.append(subprocess.Popen(cmd, env=env, cwd=REPO))
     rcs = [p.wait() for p in procs]
     assert all(rc == 0 for rc in rcs), f"worker exit codes {rcs}"
@@ -81,6 +86,11 @@ def main():
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--result", default=None)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="comm/compute A/B at fixed iterations "
+                         "(dist/multihost.comm_breakdown) instead of the "
+                         "convergent-solve throughput measurement")
+    ap.add_argument("--iters", type=int, default=12)
     args = ap.parse_args()
 
     if args.worker:
@@ -91,6 +101,22 @@ def main():
         base = spawn(1, args.local_devices, args, os.path.join(td, "b.json"))
         scaled = spawn(args.procs, args.local_devices, args,
                        os.path.join(td, "s.json"))
+
+    if args.breakdown:
+        report = {
+            "n": args.n,
+            "platform": args.platform,
+            "mode": "comm_breakdown",
+            "baseline_1proc": base,
+            "scaled": scaled,
+            "hosts": args.procs,
+        }
+        print(json.dumps(report))
+        if args.out:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+        return
 
     assert base["niters"] == scaled["niters"], (base, scaled)
     report = {
