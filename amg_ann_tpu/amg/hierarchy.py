@@ -296,9 +296,18 @@ def _to_device_well(a_mats, p_mats, params: AMGParams,
     thresh = params.dense_coarse_threshold
     dense_flags = [0 < a.nrows <= thresh and l > 0
                    for l, a in enumerate(a_mats)]
+    # level-0 ordering: RCM iff it beats the natural order; deeper WELL
+    # levels take the ordering INDUCED through P (coarse points sorted by
+    # their first fine connection) so P/R/A_c all inherit the level-0
+    # band — independent per-level RCM leaves the transfers windowless
     perms, a_perm = [], []
     for l, a_l in enumerate(a_mats):
-        p = None if dense_flags[l] else well_mod.best_perm(a_l)
+        if dense_flags[l]:
+            p = None
+        elif l == 0:
+            p = well_mod.best_perm(a_l)
+        else:
+            p = well_mod.induced_coarse_perm(p_mats[l - 1], perms[l - 1])
         perms.append(p)
         a_perm.append(well_mod.permute_sym(a_l, p) if p is not None
                       else a_l)

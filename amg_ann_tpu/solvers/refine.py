@@ -79,6 +79,13 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
     a_orig, b_orig = a, np.asarray(b)
     scale = None
     t0 = time.perf_counter()
+    if hierarchy is not None and getattr(hierarchy, "_ir_equilibrated",
+                                         False):
+        raise ValueError(
+            "this hierarchy was built by ir_solve on the EQUILIBRATED "
+            "operator; reusing it against the original matrix diverges. "
+            "Rebuild via setup()/setup_structured() on the matrix you "
+            "pass, or call ir_solve without hierarchy=.")
     if equilibrate:
         assert hierarchy is None, \
             "equilibrate rescales A; prebuilt hierarchies don't match"
@@ -95,6 +102,9 @@ def ir_solve(a: CSR, b, params: AMGParams | None = None, *, rtol=1e-8,
             hierarchy = setup_structured(a, grid_shape, params)
         else:
             hierarchy = setup(a, params)
+        if equilibrate:
+            # mark: this hierarchy matches the SCALED operator only
+            hierarchy._ir_equilibrated = True
     else:
         from .amg_solver import _apply_solve_params
 

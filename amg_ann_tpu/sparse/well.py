@@ -143,6 +143,26 @@ def best_perm(a: CSR, margin: float = 0.9):
     return None
 
 
+def induced_coarse_perm(p: CSR, fine_perm) -> np.ndarray:
+    """Order coarse indices by the (permuted) position of their first
+    fine connection in P — aligning every level's ordering with level
+    0's band structure.
+
+    Independent per-level RCM gives each level a good A band but leaves
+    P/R windows unbounded (fine and coarse orderings need not align —
+    measured s_max == nseg on TPU, i.e. zero window locality). The
+    induced ordering keeps a fine block's coarse columns contiguous, so
+    P, R AND the coarse operator all inherit level-0's bandwidth."""
+    rows, cols, _ = p.row_expand()
+    if fine_perm is not None:
+        rank_of = np.empty(p.nrows, dtype=np.int64)
+        rank_of[fine_perm] = np.arange(p.nrows)
+        rows = rank_of[rows]
+    pos = np.full(p.ncols, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(pos, cols, rows)
+    return np.argsort(pos, kind="stable").astype(np.int64)
+
+
 def permute(a: CSR, row_perm, col_perm) -> CSR:
     """A[row_perm][:, col_perm]; either may be None (identity)."""
     rows, cols, vals = a.row_expand()
@@ -247,6 +267,26 @@ def spmv_ref(a: WELL, x: jax.Array) -> jax.Array:
     return y.reshape(-1)
 
 
+_GATHER_DNUMS = None
+
+
+def _lane_gather(src, lane):
+    """take_along_axis(src, lane, axis=1) with int32 indices.
+
+    jnp.take_along_axis upcasts indices to int64 under jax_enable_x64,
+    which Mosaic rejects; this builds the identical lax.gather (the form
+    Mosaic lowers to tpu.dynamic_gather along lanes) directly. Indices
+    are in [0, 128) by construction ⇒ PROMISE_IN_BOUNDS."""
+    global _GATHER_DNUMS
+    if _GATHER_DNUMS is None:
+        _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        src, lane[..., None], _GATHER_DNUMS, slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _spmv_kernel(w0_ref, snum_ref, x_ref, data_ref, lcol_ref, y_ref, *, k8):
     b = pl.program_id(0)
     w0 = w0_ref[b]
@@ -261,8 +301,10 @@ def _spmv_kernel(w0_ref, snum_ref, x_ref, data_ref, lcol_ref, y_ref, *, k8):
         s = s.astype(jnp.int32)
         xrow = x_ref[w0 + s, :]                              # (128,)
         src = jnp.broadcast_to(xrow[None, :], (k8, _LANES))
-        g = jnp.take_along_axis(src, lane, axis=1)
-        return acc + jnp.where(seg == s, data * g, 0.0)
+        g = _lane_gather(src, lane)
+        # concrete f32 zero: a Python 0.0 literal is weak-f64 under
+        # jax_enable_x64 and would inject an f64→f32 cast Mosaic rejects
+        return acc + jnp.where(seg == s, data * g, jnp.zeros((), data.dtype))
 
     acc = jax.lax.fori_loop(jnp.int32(0), snum_ref[b], body,
                             jnp.zeros((k8, _LANES), data.dtype))
@@ -287,13 +329,18 @@ def _spmv_pallas(a: WELL, x: jax.Array, interpret: bool = False):
         kern,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k8, _LANES), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, k8, _LANES), lambda b: (b, 0, 0)),
+            # every index map is written in terms of b (b*0, not literal
+            # 0): under jax_enable_x64 literal map results trace as i64,
+            # which Mosaic refuses to return from the map function
+            pl.BlockSpec((nblk,), lambda b: (b * 0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk,), lambda b: (b * 0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(xs.shape, lambda b: (b * 0, b * 0)),
+            pl.BlockSpec((1, k8, _LANES), lambda b: (b, b * 0, b * 0)),
+            pl.BlockSpec((1, k8, _LANES), lambda b: (b, b * 0, b * 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, _LANES), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, _LANES), lambda b: (b, b * 0, b * 0)),
         out_shape=jax.ShapeDtypeStruct((nblk, 8, _LANES), a.data.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
