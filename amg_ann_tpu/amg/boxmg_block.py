@@ -253,126 +253,169 @@ def block_stencil_to_dia_dev(s, shape, nb: int = 3, slots=None):
     return pack(s, groups, npad, r, nb), tuple(offs)
 
 
+# lazily-built jit of _setup_block_chain_dev_impl (module-level so the
+# jit cache persists across setup calls — a per-call jit would retrace)
+_BLOCK_CHAIN_JIT = None
+
+
+def _axis_couplings_block_dev(s):
+    out = []
+    for ax in range(3):
+        mask = np.array([d[ax] != 0 for d in DIRS])
+        out.append(jnp.abs(s[mask]).sum())
+    return jnp.stack(out)
+
+
+def _block_stats_dev(s):
+    nbl = s.shape[1]
+    diag = jnp.stack([s[K_CENTER, c, c] for c in range(nbl)],
+                     axis=-1).reshape(-1)
+    absum = jnp.moveaxis(jnp.abs(s).sum(axis=(0, 2)), 0, -1).reshape(-1)
+    inv_diag = jnp.where(diag != 0,
+                         1.0 / jnp.where(diag == 0, 1, diag), 0.0)
+    inv_l1 = jnp.where(absum != 0,
+                       1.0 / jnp.where(absum == 0, 1, absum), 0.0)
+    lam = jnp.max(absum * jnp.abs(inv_diag))
+    return inv_diag, inv_l1, jnp.where(lam > 0, lam, 1.0)
+
+
+def _setup_block_chain_dev_impl(s0, theta, *, shape, nb, slots, interp,
+                                mrs, schedule, max_coarse):
+    from ..sparse.dia import DIA
+    from .boxmg_device import (interp_weights_boxmg_dev, interp_weights_dev,
+                               nnz_count_dev, rap_stencil_dev)
+    from .structured_mg import BlockStructuredLevel
+    from .transfer import coarse_size
+
+    interp_dev = (interp_weights_boxmg_dev if interp == "boxmg"
+                  else interp_weights_dev)
+    stencils, weights = [s0], []
+    shapes = [tuple(shape)]
+    coup_devs = []
+    for strides in schedule:
+        coup_devs.append(_axis_couplings_block_dev(stencils[-1]))
+        if strides is None:          # scheduled stop (verified by caller)
+            break
+        s_l = stencils[-1]
+        ws = [interp_dev(s_l[:, c, c], theta, strides=strides, mrs=mrs)
+              for c in range(nb)]
+        s_c = jnp.stack([jnp.stack([
+            rap_stencil_dev(s_l[:, ci, cj], ws[cj], strides=strides,
+                            w_left=None if ci == cj else ws[ci])
+            for cj in range(nb)], axis=1)
+            for ci in range(nb)], axis=1)
+        stencils.append(s_c)
+        weights.append(jnp.stack(ws))
+        shapes.append(tuple(coarse_size(s) if st == 2 else s
+                            for s, st in zip(shapes[-1], strides)))
+
+    stride_real = [st for st in schedule if st is not None]
+    levels, nnz_dev = [], []
+    for l, (s_l, sh) in enumerate(zip(stencils, shapes)):
+        inv_diag, inv_l1, lam = _block_stats_dev(s_l)
+        if nb * int(np.prod(sh)) <= 100_000:
+            lam = _lam_power_block_dev(s_l, inv_diag)
+        data, offs = block_stencil_to_dia_dev(
+            s_l, sh, nb=nb, slots=slots if l == 0 else None)
+        has_next = l < len(stencils) - 1
+        levels.append(BlockStructuredLevel(
+            a=DIA(data=data, offsets=offs, n=nb * int(np.prod(sh)),
+                  nnz=0),
+            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
+            shape=sh, nb=nb,
+            p_w=weights[l] if has_next else None,
+            strides=stride_real[l] if has_next else (2, 2, 2),
+        ))
+        nnz_dev.append(nnz_count_dev(s_l))
+    coarse = _dense_from_block_stencil_dev(stencils[-1], shapes[-1], nb)
+    return (tuple(stencils), tuple(weights), tuple(levels),
+            tuple(coup_devs), tuple(nnz_dev), jnp.linalg.inv(coarse))
+
+
 def setup_structured_block_device(s0_dev, grid_shape, params: AMGParams,
                                   dtype, nb: int = 3, slots=None):
-    """θ-sensitive block setup ON DEVICE: the only upload is the fine
-    block stencil (θ-independent); strength filtering, the nine per-pair
-    RAP contractions, stats, the DIA packing and the dense coarse inverse
-    all run jitted with θ traced — one compiled setup per (shape,
-    strides) serves a whole θ-sweep (the tc2 device-setup pattern,
-    boxmg_device.py, lifted to vector operators)."""
+    """θ-sensitive block setup ON DEVICE as ONE jitted launch per (shape,
+    schedule): strength filtering, the nine per-pair RAP contractions,
+    stats, DIA packing and the dense coarse inverse all run inside one
+    executable with θ traced (the scalar _setup_chain_dev pattern,
+    structured_mg.py, lifted to vector operators). The stride schedule is
+    speculative (full coarsening first) and corrected from ONE combined
+    coupling/nnz fetch per attempt — round 3 dispatched ~10 executables
+    per level eagerly, which cost ~10 s per warm setup through the axon
+    tunnel and dominated the tc3 datagen (~30 s per θ)."""
+    import functools as _ft
     import time as _time
 
     import jax as _jax
 
     from .boxmg import strides_from_couplings
-    from .boxmg_device import (interp_weights_boxmg_dev, interp_weights_dev,
-                               lam_power_dev, nnz_count_dev, rap_stencil_dev)
-    from .structured_mg import (BlockStructuredLevel, StructuredHierarchy,
-                                StructuredSetupResult)
+    from .structured_mg import StructuredHierarchy, StructuredSetupResult
     from .transfer import coarse_size
+
+    global _BLOCK_CHAIN_JIT
+    if _BLOCK_CHAIN_JIT is None:
+        _BLOCK_CHAIN_JIT = _jax.jit(
+            _setup_block_chain_dev_impl,
+            static_argnames=("shape", "nb", "slots", "interp", "mrs",
+                             "schedule", "max_coarse"))
 
     t0 = _time.perf_counter()
     theta = params.strong_threshold
+    theta_t = jnp.asarray(theta, dtype=s0_dev.dtype)
+    shape0 = tuple(int(x) for x in grid_shape)
 
-    @_jax.jit
-    def axis_couplings_block(s):
-        out = []
-        for ax in range(3):
-            mask = np.array([d[ax] != 0 for d in DIRS])
-            out.append(jnp.abs(s[mask]).sum())
-        return jnp.stack(out)
+    def apply_st(sh, st):
+        return tuple(coarse_size(s) if t == 2 else s
+                     for s, t in zip(sh, st))
 
-    @_jax.jit
-    def block_stats_dev(s):
-        nbl = s.shape[1]
-        diag = jnp.stack([s[K_CENTER, c, c] for c in range(nbl)],
-                         axis=-1).reshape(-1)
-        absum = jnp.moveaxis(jnp.abs(s).sum(axis=(0, 2)), 0, -1).reshape(-1)
-        inv_diag = jnp.where(diag != 0,
-                             1.0 / jnp.where(diag == 0, 1, diag), 0.0)
-        inv_l1 = jnp.where(absum != 0,
-                           1.0 / jnp.where(absum == 0, 1, absum), 0.0)
-        lam = jnp.max(absum * jnp.abs(inv_diag))
-        return inv_diag, inv_l1, jnp.where(lam > 0, lam, 1.0)
-
-    def build_chain(seed_stencils, seed_weights, seed_strides, seed_shapes,
-                    stride_fn):
-        stencils, weights = list(seed_stencils), list(seed_weights)
-        stride_list = list(seed_strides)
-        shapes = list(seed_shapes)
-        coup_devs = []
-        while (nb * int(np.prod(shapes[-1])) > params.max_coarse_size
-               and len(stencils) < params.max_levels
-               and max(shapes[-1]) >= 2):
-            coup_devs.append(axis_couplings_block(stencils[-1]))
-            strides = stride_fn(len(stencils) - 1, shapes[-1],
-                                coup_devs[-1])
-            if strides is None or 2 not in strides:
+    def full_schedule(prefix):
+        sched = list(prefix)
+        sh = shape0
+        for st in sched:
+            sh = apply_st(sh, st)
+        while (nb * int(np.prod(sh)) > params.max_coarse_size
+               and len(sched) + 1 < params.max_levels and max(sh) >= 2):
+            st = tuple(2 if n >= 2 else 1 for n in sh)
+            if 2 not in st:
                 break
-            s_l = stencils[-1]
-            interp_dev = (interp_weights_boxmg_dev
-                          if params.structured_interp == "boxmg"
-                          else interp_weights_dev)
-            ws = [interp_dev(s_l[:, c, c], theta, strides=strides,
-                             mrs=params.max_row_sum)
-                  for c in range(nb)]
-            m = tuple(n // st for n, st in zip(shapes[-1], strides))
-            s_c = jnp.stack([jnp.stack([
-                rap_stencil_dev(s_l[:, ci, cj], ws[cj], strides=strides,
-                                w_left=None if ci == cj else ws[ci])
-                for cj in range(nb)], axis=1)
-                for ci in range(nb)], axis=1)
-            stencils.append(s_c)
-            weights.append(jnp.stack(ws))
-            stride_list.append(strides)
-            shapes.append(tuple(coarse_size(s) if st == 2 else s
-                                for s, st in zip(shapes[-1], strides)))
-        return stencils, weights, stride_list, shapes, coup_devs
+            sched.append(st)
+            sh = apply_st(sh, st)
+        return tuple(sched)
 
-    # speculative full coarsening, verified with ONE coupling fetch
-    full = lambda lv, shape, _c: tuple(2 if n >= 2 else 1 for n in shape)
-    (stencils, weights, stride_list, shapes,
-     coup_devs) = build_chain([s0_dev], [], [], [tuple(grid_shape)], full)
-    coups = _jax.device_get(coup_devs)
-    bad = None
-    for l, (c, sh) in enumerate(zip(coups, shapes)):
-        want = strides_from_couplings(c, theta, sh)
-        if l < len(stride_list) and want != stride_list[l]:
-            bad = l
+    schedule = full_schedule([])
+    for _attempt in range(params.max_levels + 2):
+        (stencils, weights, levels, coup_devs, nnz_dev,
+         coarse_inv) = _BLOCK_CHAIN_JIT(
+            s0_dev, theta_t, shape=shape0, nb=nb,
+            slots=tuple(slots) if slots is not None else None,
+            interp=params.structured_interp, mrs=params.max_row_sum,
+            schedule=schedule, max_coarse=params.max_coarse_size)
+        coups, nnz_host = _jax.device_get((coup_devs, nnz_dev))
+        shapes = [shape0]
+        for st in schedule:
+            if st is None:
+                break
+            shapes.append(apply_st(shapes[-1], st))
+        bad = want_bad = None
+        for l, c in enumerate(coups):
+            want = strides_from_couplings(np.asarray(c), theta, shapes[l])
+            if want is not None and 2 not in want:
+                want = None
+            sched_l = schedule[l] if l < len(schedule) else None
+            if want != sched_l:
+                bad, want_bad = l, want
+                break
+        if bad is None:
             break
-    if bad is not None:
-        per_level = lambda lv, shape, c_dev: strides_from_couplings(
-            np.asarray(c_dev), theta, shape)
-        (stencils, weights, stride_list, shapes, _) = build_chain(
-            stencils[:bad + 1], weights[:bad], stride_list[:bad],
-            shapes[:bad + 1], per_level)
-
-    from ..sparse.dia import DIA
-
-    levels = []
-    nnz_dev = []
-    for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
-        inv_diag, inv_l1, lam = block_stats_dev(s_l)
-        if nb * int(np.prod(shape)) <= 100_000:
-            # power-iterate D⁻¹A on the flattened interleaved operator
-            # via the scalar machinery? the block matvec is cheap here:
-            lam = _lam_power_block_dev(s_l, inv_diag)
-        data, offs = block_stencil_to_dia_dev(
-            s_l, shape, nb=nb, slots=slots if l == 0 else None)
-        has_next = l < len(stencils) - 1
-        levels.append(BlockStructuredLevel(
-            a=DIA(data=data, offsets=offs, n=nb * int(np.prod(shape)),
-                  nnz=0),
-            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
-            shape=shape, nb=nb,
-            p_w=weights[l] if has_next else None,
-            strides=stride_list[l] if has_next else (2, 2, 2),
-        ))
-        nnz_dev.append(nnz_count_dev(s_l))
-    coarse = _dense_from_block_stencil_dev(stencils[-1], shapes[-1], nb)
-    coarse_inv = jnp.linalg.inv(coarse)
-    nnz = [int(v) for v in _jax.device_get(nnz_dev)]
+        prefix = list(schedule[:bad])
+        schedule = (tuple(prefix) + (None,) if want_bad is None
+                    else full_schedule(prefix + [want_bad]))
+    stride_list = [st for st in schedule if st is not None]
+    shapes = [shape0]
+    for st in stride_list:
+        shapes.append(apply_st(shapes[-1], st))
+    stencils, weights, levels = list(stencils), list(weights), list(levels)
+    nnz = [int(v) for v in nnz_host]
     rows = [nb * int(np.prod(sh)) for sh in shapes]
     p_nnz_est = sum(int(np.prod(w.shape)) for w in weights)
     stats = HierarchyStats(

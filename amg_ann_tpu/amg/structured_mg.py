@@ -32,6 +32,7 @@ classical PMIS path (amg/hierarchy.py) is used.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -341,126 +342,151 @@ def _setup_operator(a: CSR, s0: np.ndarray, grid_shape, params: AMGParams,
                                  weights=weights, strides=stride_list)
 
 
-def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
-                           a_slots) -> StructuredSetupResult:
-    """θ-sensitive setup computed ON DEVICE (amg/boxmg_device.py).
+@functools.partial(jax.jit, static_argnames=("shape", "slots", "interp",
+                                              "mrs", "schedule"))
+def _setup_chain_dev(s0, theta, *, shape, slots, interp, mrs, schedule):
+    """The WHOLE device setup chain — coarsening, interpolation, RAP,
+    level stats, DIA packing, transfers, dense coarse inverse — as ONE
+    jitted executable per (shape, slots, schedule).
 
-    The only host↔device traffic: the fine stencil upload (done by the
-    caller, θ-independent), three coupling scalars per level for the
-    semicoarsening decision, and the per-level nnz counts for the stats.
-    One compiled executable per (shape, strides, slots) serves every θ —
-    a sweep recompiles nothing. λ_max follows the host policy: Gershgorin
-    on big levels, on-device power iteration on coarse ones.
-    """
-    import jax as _jax
-
-    from .boxmg import strides_from_couplings
+    `schedule` is the STATIC per-level stride plan (a trailing None entry
+    = scheduled stop, whose coupling is still emitted so the caller can
+    verify the stop). θ rides traced, so one executable serves a whole
+    sweep. Round-3 ran this as ~7 separately-dispatched executables per
+    level; through the axon tunnel each dispatch costs tens of ms, which
+    made warm setup ~3 s at 128³ and ~10 s on the tc3 block path — the
+    one-launch form is the round-4 setup-time attack (VERDICT item 7)."""
     from .boxmg_device import (axis_couplings_dev, dense_from_stencil_dev,
                                interp_weights_boxmg_dev, interp_weights_dev,
                                lam_power_dev, level_stats_dev, nnz_count_dev,
                                rap_stencil_dev, stencil_to_dia_dev)
 
-    interp_dev = (interp_weights_boxmg_dev
-                  if params.structured_interp == "boxmg"
+    interp_dev = (interp_weights_boxmg_dev if interp == "boxmg"
                   else interp_weights_dev)
+    stencils, weights = [s0], []
+    slot_list = [tuple(slots)]
+    shapes = [tuple(shape)]
+    coup_devs = []
+    for strides in schedule:
+        coup_devs.append(axis_couplings_dev(stencils[-1]))
+        if strides is None:          # scheduled stop (verified by caller)
+            break
+        w = interp_dev(stencils[-1], theta, strides=strides, mrs=mrs)
+        s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
+                              a_slots=slot_list[-1])
+        stencils.append(s_c)
+        weights.append(w)
+        slot_list.append(tuple(range(27)))
+        shapes.append(tuple(coarse_size(s) if st == 2 else s
+                            for s, st in zip(shapes[-1], strides)))
+
+    stride_real = [st for st in schedule if st is not None]
+    levels, nnz_dev = [], []
+    for l, (s_l, sh) in enumerate(zip(stencils, shapes)):
+        inv_diag, inv_l1, lam = level_stats_dev(s_l)
+        if int(np.prod(sh)) <= 100_000:
+            # small (coarse Galerkin) levels: Gershgorin is loose there —
+            # power-iterate on device (host-path policy)
+            lam = lam_power_dev(s_l, inv_diag)
+        data, offs = stencil_to_dia_dev(s_l, sh, slots=slot_list[l])
+        has_next = l < len(stencils) - 1
+        p_dia = r_dia = None
+        p_w_dev = None
+        if has_next:
+            p_w_dev = weights[l]
+            if _want_transfer_dia(sh):
+                p_dia, r_dia = transfer_dia(weights[l], sh, stride_real[l])
+                if int(np.prod(sh)) >= _P_W_DROP_ROWS:
+                    p_w_dev = None     # DIA transfers carry the weights
+                    weights[l] = None  # free the 27·n device buffer
+        levels.append(StructuredLevel(
+            a=DIA(data=data, offsets=offs, n=int(np.prod(sh)), nnz=0),
+            inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
+            shape=sh,
+            p_w=p_w_dev,
+            strides=stride_real[l] if has_next else (2, 2, 2),
+            p_dia=p_dia, r_dia=r_dia,
+        ))
+        nnz_dev.append(nnz_count_dev(s_l))
+    coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])
+    return (tuple(stencils), tuple(weights), tuple(levels),
+            tuple(coup_devs), tuple(nnz_dev), jnp.linalg.inv(coarse))
+
+
+def _setup_operator_device(s0_dev, grid_shape, params: AMGParams, dtype,
+                           a_slots) -> StructuredSetupResult:
+    """θ-sensitive setup computed ON DEVICE (amg/boxmg_device.py).
+
+    The only host↔device traffic: the fine stencil upload (done by the
+    caller, θ-independent) and ONE combined fetch of the coupling
+    scalars + nnz stats per attempt. The chain runs speculatively under
+    a static stride schedule (full coarsening first); if the fetched
+    couplings disagree with the schedule, the schedule is corrected at
+    the first diverging level and the chain re-launched — each attempt
+    extends the verified prefix, so it terminates in ≤ n_levels
+    launches, and every (shape, schedule) executable is jit-cached, so
+    anisotropic θ-sweeps reuse a handful of executables.
+    """
+    import jax as _jax
+
+    from .boxmg import strides_from_couplings
+
     t0 = time.perf_counter()
     theta = params.strong_threshold
+    theta_t = jnp.asarray(theta, dtype=s0_dev.dtype)
+    shape0 = tuple(int(x) for x in grid_shape)
 
-    def build_chain(seed_stencils, seed_weights, seed_strides, seed_slots,
-                    seed_shapes, stride_fn):
-        """Extend the hierarchy using stride_fn(level_index, shape) —
-        returns per-level coupling DEVICE scalars alongside."""
-        stencils, weights = list(seed_stencils), list(seed_weights)
-        stride_list, slot_list = list(seed_strides), list(seed_slots)
-        shapes = list(seed_shapes)
-        coup_devs = []
-        while (int(np.prod(shapes[-1])) > params.max_coarse_size
-               and len(stencils) < params.max_levels
-               and max(shapes[-1]) >= 2):
-            coup_devs.append(axis_couplings_dev(stencils[-1]))
-            strides = stride_fn(len(stencils) - 1, shapes[-1], coup_devs[-1])
-            if strides is None or 2 not in strides:
+    def apply_st(sh, st):
+        return tuple(coarse_size(s) if t == 2 else s
+                     for s, t in zip(sh, st))
+
+    def full_schedule(prefix):
+        sched = list(prefix)
+        sh = shape0
+        for st in sched:
+            sh = apply_st(sh, st)
+        while (int(np.prod(sh)) > params.max_coarse_size
+               and len(sched) + 1 < params.max_levels and max(sh) >= 2):
+            st = tuple(2 if n >= 2 else 1 for n in sh)
+            if 2 not in st:
                 break
-            w = interp_dev(stencils[-1], theta, strides=strides,
-                           mrs=params.max_row_sum)
-            s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
-                                  a_slots=slot_list[-1])
-            stencils.append(s_c)
-            weights.append(w)
-            stride_list.append(strides)
-            slot_list.append(tuple(range(27)))
-            shapes.append(tuple(coarse_size(s) if st == 2 else s
-                                for s, st in zip(shapes[-1], strides)))
-        return stencils, weights, stride_list, slot_list, shapes, coup_devs
+            sched.append(st)
+            sh = apply_st(sh, st)
+        return tuple(sched)
 
-    def build_levels(stencils, weights, stride_list, slot_list, shapes):
-        levels, nnz_dev = [], []
-        for l, (s_l, shape) in enumerate(zip(stencils, shapes)):
-            inv_diag, inv_l1, lam = level_stats_dev(s_l)
-            if int(np.prod(shape)) <= 100_000:
-                # small (coarse Galerkin) levels: Gershgorin is loose
-                # there — power-iterate on device (host-path policy)
-                lam = lam_power_dev(s_l, inv_diag)
-            data, offs = stencil_to_dia_dev(s_l, shape, slots=slot_list[l])
-            has_next = l < len(stencils) - 1
-            p_dia = r_dia = None
-            p_w_dev = None
-            if has_next:
-                p_w_dev = weights[l]
-                if _want_transfer_dia(shape):
-                    p_dia, r_dia = transfer_dia(weights[l], shape,
-                                                stride_list[l])
-                    if int(np.prod(shape)) >= _P_W_DROP_ROWS:
-                        p_w_dev = None     # DIA transfers carry the weights
-                        weights[l] = None  # free the 27·n device buffer
-            levels.append(StructuredLevel(
-                a=DIA(data=data, offsets=offs, n=int(np.prod(shape)),
-                      nnz=0),
-                inv_diag=inv_diag, inv_l1=inv_l1, lam_max=lam,
-                shape=shape,
-                p_w=p_w_dev,
-                strides=stride_list[l] if has_next else (2, 2, 2),
-                p_dia=p_dia, r_dia=r_dia,
-            ))
-            nnz_dev.append(nnz_count_dev(s_l))
-        coarse = dense_from_stencil_dev(stencils[-1], shapes[-1])
-        return levels, nnz_dev, jnp.linalg.inv(coarse)
-
-    # pass 1 — SPECULATIVE full coarsening: no host sync inside the loop
-    # (every round trip through the tunnel costs ~50 ms). Levels and nnz
-    # stats are ALSO built speculatively so couplings + stats cost ONE
-    # combined fetch on the common (isotropic) path.
-    full = lambda lv, shape, _c: tuple(2 if n >= 2 else 1 for n in shape)
-    (stencils, weights, stride_list, slot_list, shapes,
-     coup_devs) = build_chain([s0_dev], [], [], [tuple(a_slots)],
-                              [tuple(grid_shape)], full)
-    levels, nnz_dev, coarse_inv = build_levels(
-        stencils, weights, stride_list, slot_list, shapes)
-    coups, nnz_host = _jax.device_get((coup_devs, nnz_dev))
-    bad = None
-    for l, (c, sh) in enumerate(zip(coups, shapes)):
-        want = strides_from_couplings(c, theta, sh)
-        if l < len(stride_list) and want != stride_list[l]:
-            bad = l
+    schedule = full_schedule([])
+    for _attempt in range(params.max_levels + 2):
+        (stencils, weights, levels, coup_devs, nnz_dev,
+         coarse_inv) = _setup_chain_dev(
+            s0_dev, theta_t, shape=shape0, slots=tuple(a_slots),
+            interp=params.structured_interp, mrs=params.max_row_sum,
+            schedule=schedule)
+        coups, nnz_host = _jax.device_get((coup_devs, nnz_dev))
+        shapes = [shape0]
+        for st in schedule:
+            if st is None:
+                break
+            shapes.append(apply_st(shapes[-1], st))
+        bad = want_bad = None
+        for l, c in enumerate(coups):
+            want = strides_from_couplings(np.asarray(c), theta, shapes[l])
+            if want is not None and 2 not in want:
+                want = None
+            sched_l = schedule[l] if l < len(schedule) else None
+            if want != sched_l:
+                bad, want_bad = l, want
+                break
+        if bad is None:
             break
-    if bad is not None:
-        # anisotropic: rebuild from the first diverging level with the
-        # honest per-level decision (pays one fetch per remaining level,
-        # and the speculative level work is discarded)
-        for l in range(bad):
-            if weights[l] is None:   # dropped by the speculative pass
-                weights[l] = interp_dev(stencils[l], theta,
-                                        strides=stride_list[l],
-                                        mrs=params.max_row_sum)
-        per_level = lambda lv, shape, c_dev: strides_from_couplings(
-            np.asarray(c_dev), theta, shape)
-        (stencils, weights, stride_list, slot_list, shapes,
-         _) = build_chain(stencils[:bad + 1], weights[:bad],
-                          stride_list[:bad], slot_list[:bad + 1],
-                          shapes[:bad + 1], per_level)
-        levels, nnz_dev, coarse_inv = build_levels(
-            stencils, weights, stride_list, slot_list, shapes)
-        nnz_host = _jax.device_get(nnz_dev)
+        prefix = list(schedule[:bad])
+        schedule = (tuple(prefix) + (None,) if want_bad is None
+                    else full_schedule(prefix + [want_bad]))
+    stride_list = [st for st in schedule if st is not None]
+    shapes = [shape0]
+    for st in stride_list:
+        shapes.append(apply_st(shapes[-1], st))
+    weights = list(weights)
+    stencils = list(stencils)
     nnz = [int(v) for v in nnz_host]
     p_nnz_est = sum(27 * int(np.prod(sh))          # upper bound (27·n per
                     for sh in shapes[:-1])         # level with a next one)

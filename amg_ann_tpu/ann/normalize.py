@@ -44,8 +44,28 @@ def stack_channels_device(view, view_type: str, mode: str):
     pure | pure_log — the shipped configurations): normalize + stack on
     device so the whole predict pipeline (view/pooling.make_view_stencil
     → here → pipeline/evaluate.pred_theta_device) runs with zero host
-    syncs. Host stack_channels stays the oracle; parity is pinned in
+    syncs. Jitted as ONE dispatch — the ~12 eager ops cost ~100 ms each
+    through the axon tunnel and dominated the 129³ warm predict (r3:
+    2.4 s). Host stack_channels stays the oracle; parity is pinned in
     tests/test_ann_solver.py."""
+    return _stack_channels_jit(view_type, mode)(view)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _stack_channels_jit(view_type: str, mode: str):
+    import functools as _ft
+
+    import jax
+
+    # cached per (view_type, mode): a fresh jit per call would retrace
+    return jax.jit(_ft.partial(_stack_channels_device_impl,
+                               view_type=view_type, mode=mode))
+
+
+def _stack_channels_device_impl(view, *, view_type: str, mode: str):
     import jax.numpy as jnp
 
     if mode not in ("pure", "pure_log"):

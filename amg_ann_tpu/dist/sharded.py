@@ -67,7 +67,14 @@ def shard_hierarchy(h: DeviceHierarchy, mesh: Mesh,
     """Shard every level's operators row-wise; smoother diagonals ride the
     same row partition; the (tiny) coarsest dense inverse is replicated."""
     from ..sparse.ell import DenseOp
+    from ..sparse.well import WELL
 
+    if any(isinstance(lev.a, WELL) for lev in h.levels):
+        raise TypeError(
+            "shard_hierarchy partitions ELL row arrays; rebuild the "
+            "hierarchy with AMGParams(device_format='ell') for the GSPMD "
+            "row-sharded path (WELL is the single-chip unstructured "
+            "format)")
     levels = []
     for lev in h.levels:
         if isinstance(lev.a, DenseOp):

@@ -295,19 +295,31 @@ def _spmv_kernel(w0_ref, snum_ref, x_ref, data_ref, lcol_ref, y_ref, *, k8):
     lane = jnp.bitwise_and(lcol, _LANES - 1)
     seg = jnp.right_shift(lcol, 7)
 
-    def body(s, acc):
-        # pin the loop index to int32 — under jax_enable_x64 the induction
-        # variable would otherwise trace as int64, which Mosaic rejects
-        s = s.astype(jnp.int32)
-        xrow = x_ref[w0 + s, :]                              # (128,)
-        src = jnp.broadcast_to(xrow[None, :], (k8, _LANES))
-        g = _lane_gather(src, lane)
-        # concrete f32 zero: a Python 0.0 literal is weak-f64 under
-        # jax_enable_x64 and would inject an f64→f32 cast Mosaic rejects
-        return acc + jnp.where(seg == s, data * g, jnp.zeros((), data.dtype))
+    zero = jnp.zeros((), data.dtype)
 
-    acc = jax.lax.fori_loop(jnp.int32(0), snum_ref[b], body,
-                            jnp.zeros((k8, _LANES), data.dtype))
+    def body(i, acc):
+        # pin the loop index to int32 — under jax_enable_x64 the induction
+        # variable would otherwise trace as int64, which Mosaic rejects.
+        # Unrolled ×4: the scalar-loop trip overhead (~0.3 µs) dominated
+        # the measured SpMV at 36k DoFs; s_granule=4 in from_csr
+        # guarantees w0 + roundup(snum,4) ≤ nseg, so the overshoot reads
+        # stay inside x and their seg==s selects are all-false.
+        s0 = i.astype(jnp.int32) * jnp.int32(4)
+        for d in range(4):
+            s = s0 + jnp.int32(d)
+            xrow = x_ref[w0 + s, :]                          # (128,)
+            src = jnp.broadcast_to(xrow[None, :], (k8, _LANES))
+            g = _lane_gather(src, lane)
+            # concrete f32 zero: a Python 0.0 literal is weak-f64 under
+            # jax_enable_x64 (f64→f32 cast, which Mosaic rejects)
+            acc = acc + jnp.where(seg == s, data * g, zero)
+        return acc
+
+    # all-jnp.int32 scalar arithmetic: mixing Python ints recurses
+    # Mosaic's x64 convert helper (same fix as sparse/pallas_spmv.py)
+    trips = (snum_ref[b] + jnp.int32(3)) // jnp.int32(4)
+    acc = jax.lax.fori_loop(jnp.int32(0), trips,
+                            body, jnp.zeros((k8, _LANES), data.dtype))
     y_ref[0] = jnp.sum(acc.reshape(k8 // 8, 8, _LANES), axis=0)
 
 

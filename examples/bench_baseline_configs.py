@@ -141,10 +141,33 @@ def config3_unstructured_dist(out):
     from amg_ann_tpu.dist import make_mesh, shard_solve
     from amg_ann_tpu.fem.unstructured import UnstructuredDiffusion
 
+    from amg_ann_tpu.solvers.amg_solver import amg_solve
+
     p = UnstructuredDiffusion(mesh="Cube", refinements=3, seed=0,
                               max_diffusion=2.0)
     a, b, x0 = p.build()
-    h = setup(a, AMGParams(dtype=np.float32, smoother="chebyshev"))
+
+    # single-chip WELL path (round 4): the gather-free windowed-ELL
+    # Pallas kernel + RCM/induced orderings (sparse/well.py)
+    hw = setup(a, AMGParams(dtype=np.float32, smoother="chebyshev",
+                            device_format="well"))
+    r = amg_solve(a, b, hw.params, hierarchy=hw, rtol=1e-6, tol=0.0)
+    best = r
+    for _ in range(2):
+        r = amg_solve(a, b, hw.params, hierarchy=hw, rtol=1e-6, tol=0.0)
+        if r.t_solve < best.t_solve:
+            best = r
+    nnz_work = int(best.niters) * sum(hw.stats.nnz)
+    _emit(out, {"config": "unstructured_p1_well_single_chip",
+                "ndof": a.nrows, "niters": int(best.niters),
+                "t_solve_s": best.t_solve / 1e6,
+                "nnz_per_s": nnz_work / (best.t_solve / 1e6),
+                "converged": bool(best.converged)})
+
+    # GSPMD row-sharded path (ELL pinned — shard_hierarchy partitions
+    # ELL row arrays; WELL shards by 1024-row blocks, not supported here)
+    h = setup(a, AMGParams(dtype=np.float32, smoother="chebyshev",
+                           device_format="ell"))
     mesh = make_mesh()
     r = shard_solve(h, b, mesh=mesh, rtol=1e-6, tol=0.0, maxiter=200)
     jax.block_until_ready(r.x)
