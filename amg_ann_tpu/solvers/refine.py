@@ -160,9 +160,19 @@ def ir_device_args(hierarchy, a, b, rtol, *, inner_rtol=1e-4, max_outer=20,
         from ..sparse.double_single import from_csr_ds
 
         a_ds = from_csr_ds(a, max_offsets=128)
+        if a_ds is None:
+            # no DIA structure (unstructured matrices): double-single on
+            # the WELL layout — the gather-free outer residual for the
+            # tc1 path (the emulated-f64 ELL gather costs ~150 ms/outer
+            # at 36k DoFs on TPU)
+            from ..sparse import well as well_mod
+
+            if isinstance(hierarchy.device.levels[0].a, well_mod.WELL):
+                a_ds = well_mod.from_csr_ds(a)
         if mode == "ds" and a_ds is None:
             raise ValueError(
-                "IR_RESIDUAL_MODE='ds' needs a DIA-structured operator")
+                "IR_RESIDUAL_MODE='ds' needs a DIA-structured or WELL "
+                "operator")
     use_ds = a_ds is not None and (
         mode == "ds"
         or jax.default_backend() in ("tpu", "axon")
@@ -175,7 +185,7 @@ def ir_device_args(hierarchy, a, b, rtol, *, inner_rtol=1e-4, max_outer=20,
         ah, al = a_ds
         bh_np, bl_np = ds_split(np.asarray(b, dtype=np.float64))
         use_pallas = (jax.default_backend() in ("tpu", "axon")
-                      and ah.cols == 128)
+                      and getattr(ah, "cols", 128) == 128)
         args = (hierarchy.device, a32, ah, al, jnp.asarray(bh_np),
                 jnp.asarray(bl_np), jnp.float32(rtol),
                 jnp.float32(inner_rtol), max_outer, inner_maxiter,
@@ -229,6 +239,7 @@ def _ir_device_ds(device_h, a32, ah, al, bh, bl, rtol, inner_rtol,
     residual — no f64 anywhere (TPU-native; works with x64 off)."""
     from ..sparse.double_single import (dia_residual_ds,
                                         dia_residual_ds_ref, ds_add)
+    from ..sparse.well import WELL, residual_ds as well_residual_ds
 
     norm_b = jnp.linalg.norm(bh)
     norm_b = jnp.where(norm_b == 0, 1.0, norm_b).astype(jnp.float32)
@@ -236,6 +247,8 @@ def _ir_device_ds(device_h, a32, ah, al, bh, bl, rtol, inner_rtol,
     hist = hist.at[0].set(norm_b)
 
     def residual(xh, xl):
+        if isinstance(ah, WELL):
+            return well_residual_ds(ah, al, xh, xl, bh, bl)
         if use_pallas:
             return dia_residual_ds(ah, al, xh, xl, bh, bl)
         return dia_residual_ds_ref(ah, al, xh, xl, bh, bl)

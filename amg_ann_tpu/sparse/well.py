@@ -185,6 +185,21 @@ def from_csr(a: CSR, dtype=np.float32, k_align: int = 4,
     jit cache stable across the per-θ shape jitter of AMG sweep hierarchies
     (hierarchy row counts vary slightly with θ; see AMGParams.shape_buckets).
     """
+    data, lcol, w0, snum, s_max = _pack_host(a, dtype, k_align, s_granule)
+    nblk = data.shape[0]
+    k = data.shape[1]
+    return WELL(
+        data=jnp.asarray(data.reshape(nblk, k * 8, _LANES)),
+        lcol=jnp.asarray(lcol.reshape(nblk, k * 8, _LANES)),
+        w0=jnp.asarray(w0),
+        snum=jnp.asarray(snum),
+        nrows=a.nrows, ncols=a.ncols, nnz=a.nnz, s_max=s_max,
+    )
+
+
+def _pack_host(a: CSR, dtype, k_align: int, s_granule: int):
+    """Host (numpy) WELL packing: (data (nblk,K,8,128), lcol, w0, snum,
+    s_max)."""
     nblk = max(_ceil(max(a.nrows, 1), BLOCK), 1)
     row_nnz = a.row_nnz
     k = int(row_nnz.max()) if a.nrows and a.nnz else 1
@@ -220,13 +235,163 @@ def from_csr(a: CSR, dtype=np.float32, k_align: int = 4,
     l_of = rows % _LANES
     data[b_of, pos, i_of, l_of] = a.data
     lcol[b_of, pos, i_of, l_of] = a.indices - (w0[b_of] << 7)
-    return WELL(
-        data=jnp.asarray(data.reshape(nblk, k * 8, _LANES)),
+    return data, lcol, w0, snum, s_max
+
+
+def from_csr_ds(a: CSR, k_align: int = 4, s_granule: int = 4):
+    """(hi WELL, lo values) — double-single (two-f32) packing of an f64
+    host matrix for compensated residuals (sparse/double_single.py math)
+    on the WELL kernel. The split happens on HOST numpy (jnp.asarray
+    would silently downcast f64 with jax_enable_x64 off — the lo part
+    would be all-zero). The lo array shares hi's slot layout."""
+    d64, lcol, w0, snum, s_max = _pack_host(a, np.float64, k_align,
+                                            s_granule)
+    nblk, k = d64.shape[0], d64.shape[1]
+    hi = d64.astype(np.float32)
+    lo = (d64 - hi.astype(np.float64)).astype(np.float32)
+    w_hi = WELL(
+        data=jnp.asarray(hi.reshape(nblk, k * 8, _LANES)),
         lcol=jnp.asarray(lcol.reshape(nblk, k * 8, _LANES)),
-        w0=jnp.asarray(w0),
-        snum=jnp.asarray(snum),
-        nrows=a.nrows, ncols=a.ncols, nnz=a.nnz, s_max=s_max,
-    )
+        w0=jnp.asarray(w0), snum=jnp.asarray(snum),
+        nrows=a.nrows, ncols=a.ncols, nnz=a.nnz, s_max=s_max)
+    return w_hi, jnp.asarray(lo.reshape(nblk, k * 8, _LANES))
+
+
+def residual_ds_ref(a_hi: WELL, a_lo, xh, xl, bh, bl):
+    """Portable r = b − A x in double-single on the WELL layout (XLA
+    gather; the oracle for the Pallas kernel). Returns (r_hi, r_lo) of
+    length a.nrows (true rows)."""
+    from .double_single import _tap_accumulate, ds_add
+
+    xs_h = _x_segments(a_hi, xh).reshape(-1)
+    xs_l = _x_segments(a_hi, xl).reshape(-1)
+    gcol = a_hi.lcol + (a_hi.w0[:, None, None] << 7)
+    gh = jnp.take(xs_h, gcol, axis=0)
+    gl = jnp.take(xs_l, gcol, axis=0)
+    acc_h = jnp.zeros_like(a_hi.data)
+    acc_l = jnp.zeros_like(a_hi.data)
+    acc_h, acc_l = _tap_accumulate(acc_h, acc_l, a_hi.data, a_lo, gh, gl)
+    nblk, k8, _ = a_hi.data.shape
+    # ds-reduce the K slot groups (exact pairwise two_sum accumulation)
+    rh = jnp.zeros((nblk, 8, _LANES), dtype=jnp.float32)
+    rl = jnp.zeros((nblk, 8, _LANES), dtype=jnp.float32)
+    a4h = acc_h.reshape(nblk, k8 // 8, 8, _LANES)
+    a4l = acc_l.reshape(nblk, k8 // 8, 8, _LANES)
+    for kk in range(k8 // 8):
+        rh, rl = ds_add(rh, rl, a4h[:, kk], a4l[:, kk])
+    n = a_hi.nrows
+    pad = a_hi.padded_rows
+
+    def pad_to(v):
+        v = jnp.asarray(v, dtype=jnp.float32)
+        if v.shape[0] < pad:
+            v = jnp.concatenate([v, jnp.zeros(pad - v.shape[0],
+                                              jnp.float32)])
+        return v.reshape(nblk, 8, _LANES)
+
+    out_h, out_l = ds_add(pad_to(bh), pad_to(bl), -rh, -rl)
+    return out_h.reshape(-1)[:n], out_l.reshape(-1)[:n]
+
+
+def _residual_kernel_ds(w0_ref, snum_ref, xh_ref, xl_ref, dh_ref, dl_ref,
+                        lcol_ref, bh_ref, bl_ref, rh_ref, rl_ref, *, k8):
+    from .double_single import ds_add, two_prod
+
+    b = pl.program_id(0)
+    w0 = w0_ref[b]
+    dh = dh_ref[0]
+    dl = dl_ref[0]
+    lcol = lcol_ref[0]
+    lane = jnp.bitwise_and(lcol, _LANES - 1)
+    seg = jnp.right_shift(lcol, 7)
+    zero = jnp.zeros((), jnp.float32)
+
+    def body(i, acc):
+        acc_h, acc_l = acc
+        s0 = i.astype(jnp.int32) * jnp.int32(4)
+        for d in range(4):
+            s = s0 + jnp.int32(d)
+            sel = seg == s
+            gh = _lane_gather(jnp.broadcast_to(xh_ref[w0 + s, :][None, :],
+                                               (k8, _LANES)), lane)
+            gl = _lane_gather(jnp.broadcast_to(xl_ref[w0 + s, :][None, :],
+                                               (k8, _LANES)), lane)
+            ah = jnp.where(sel, dh, zero)
+            al = jnp.where(sel, dl, zero)
+            p, perr = two_prod(ah, gh)
+            tap_lo = perr + (ah * gl + al * gh + al * gl)
+            acc_h, acc_l = ds_add(acc_h, acc_l, p, tap_lo)
+        return acc_h, acc_l
+
+    z = jnp.zeros((k8, _LANES), jnp.float32)
+    trips = (snum_ref[b] + jnp.int32(3)) // jnp.int32(4)
+    acc_h, acc_l = jax.lax.fori_loop(jnp.int32(0), trips, body, (z, z))
+    rh = bh_ref[0]
+    rl = bl_ref[0]
+    for kk in range(k8 // 8):
+        rh, rl = ds_add(rh, rl, -acc_h[kk * 8:(kk + 1) * 8],
+                        -acc_l[kk * 8:(kk + 1) * 8])
+    rh_ref[0] = rh
+    rl_ref[0] = rl
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _residual_ds_pallas(a_hi: WELL, a_lo, xh, xl, bh, bl,
+                        interpret: bool = False):
+    xs_h = _x_segments(a_hi, xh)
+    xs_l = _x_segments(a_hi, xl)
+    nblk, k8, _ = a_hi.data.shape
+    pad = a_hi.padded_rows
+
+    def pad_to(v):
+        v = jnp.asarray(v, dtype=jnp.float32)
+        if v.shape[0] < pad:
+            v = jnp.concatenate([v, jnp.zeros(pad - v.shape[0],
+                                              jnp.float32)])
+        return v.reshape(nblk, 8, _LANES)
+
+    kern = functools.partial(_residual_kernel_ds, k8=k8)
+    blk3 = lambda: pl.BlockSpec((1, k8, _LANES),
+                                lambda b: (b, b * 0, b * 0))
+    blk8 = lambda: pl.BlockSpec((1, 8, _LANES), lambda b: (b, b * 0, b * 0))
+    rh, rl = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk,), lambda b: (b * 0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk,), lambda b: (b * 0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(xs_h.shape, lambda b: (b * 0, b * 0)),
+            pl.BlockSpec(xs_h.shape, lambda b: (b * 0, b * 0)),
+            blk3(), blk3(), blk3(), blk8(), blk8(),
+        ],
+        out_specs=(blk8(), blk8()),
+        out_shape=(jax.ShapeDtypeStruct((nblk, 8, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((nblk, 8, _LANES), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a_hi.w0, a_hi.snum, xs_h, xs_l, a_hi.data, a_lo, a_hi.lcol,
+      pad_to(bh), pad_to(bl))
+    n = a_hi.nrows
+    return rh.reshape(-1)[:n], rl.reshape(-1)[:n]
+
+
+def residual_ds(a_hi: WELL, a_lo, xh, xl, bh, bl, interpret: bool = False):
+    """r = b − A x in double-single via the WELL kernel on TPU (XLA
+    reference elsewhere) — the unstructured ir_solve outer residual
+    (the emulated-f64 ELL gather it replaces cost ~150 ms per outer
+    iteration at 36k DoFs)."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if (on_tpu or interpret) and fits_vmem(a_hi):
+        return _residual_ds_pallas(a_hi, a_lo, xh, xl, bh, bl,
+                                   interpret=interpret and not on_tpu)
+    return residual_ds_ref(a_hi, a_lo, xh, xl, bh, bl)
 
 
 def to_csr(a: WELL) -> CSR:

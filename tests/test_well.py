@@ -189,3 +189,54 @@ class TestHierarchy:
         x_un = np.empty_like(res.x)
         x_un[scram] = res.x
         np.testing.assert_allclose(x_un, res0.x, rtol=1e-5, atol=1e-8)
+
+
+class TestResidualDS:
+    """Double-single (two-f32) outer residual on the WELL layout —
+    the unstructured ir_solve outer (sparse/well.residual_ds)."""
+
+    def _setup(self, n=3000, seed=11):
+        a, rng = _banded_random(n=n, bw=120, seed=seed)
+        import jax.numpy as jnp
+
+        from amg_ann_tpu.sparse.double_single import ds_split
+
+        x = rng.random(n)
+        b = rng.random(n)
+        wh, wl = well.from_csr_ds(a)
+        xh, xl = ds_split(x)
+        bh, bl = ds_split(b)
+        args = tuple(jnp.asarray(v) for v in (xh, xl, bh, bl))
+        r_exact = b - a.matvec(x)
+        return a, wh, wl, args, r_exact
+
+    def test_lo_part_nonzero(self):
+        # regression: jnp.asarray silently downcasts f64 under x64-off,
+        # which zeroed the lo split entirely (f32-level residuals)
+        _, _, wl, _, _ = self._setup()
+        assert float(np.abs(np.asarray(wl)).max()) > 0
+
+    def test_ref_accuracy(self):
+        a, wh, wl, args, r_exact = self._setup()
+        rh, rl = well.residual_ds_ref(wh, wl, *args)
+        got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+        scale = np.abs(r_exact).max() + 1.0
+        assert np.abs(got - r_exact).max() / scale < 1e-12
+
+    def test_kernel_interpret_accuracy(self):
+        a, wh, wl, args, r_exact = self._setup(seed=12)
+        rh, rl = well._residual_ds_pallas(wh, wl, *args, interpret=True)
+        got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+        scale = np.abs(r_exact).max() + 1.0
+        assert np.abs(got - r_exact).max() / scale < 1e-12
+
+    def test_ir_solve_ds_mode_reaches_1em8(self):
+        from amg_ann_tpu.fem.unstructured import UnstructuredDiffusion
+
+        prob = UnstructuredDiffusion(mesh="Cube", refinements=2, seed=3,
+                                     max_diffusion=3.0, degree=1)
+        a, b, _ = prob.build()
+        res = ir_solve(a, b, AMGParams(dtype=np.float32,
+                                       device_format="well"),
+                       rtol=1e-8, residual_mode="ds")
+        assert res.converged and res.true_res < 1e-8
