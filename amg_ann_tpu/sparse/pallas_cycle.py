@@ -123,6 +123,18 @@ def _coarse_pos_map(fine_shape, strides):
     return ((gx * ny + gy) * nz + gz).reshape(-1)
 
 
+@functools.lru_cache(maxsize=256)
+def _transfer_terms(shape, strides, r_next, r_l):
+    """(sub_terms, interleave_terms) for one level's coarse map — pure
+    function of static geometry, lru-cached so every per-θ setup of a
+    sweep reuses the host-side decomposition (it cost ~100 ms of numpy
+    per setup call before caching)."""
+    fmap = _coarse_pos_map(shape, strides)
+    sub = _selection_terms(np.arange(fmap.size), fmap, r_next, r_l)
+    intl = _selection_terms(fmap, np.arange(fmap.size), r_l, r_next)
+    return sub, intl
+
+
 # --------------------------------------------------------------------------
 # plan
 # --------------------------------------------------------------------------
@@ -224,11 +236,9 @@ def build_fused_tail(levels, coarse_inv, params, vmem_cap=None):
             nxt = tail[i + 1]
             r_next = (nxt.a.data.shape[1] if i + 1 < len(tail) - 1
                       else rows_c)
-            fmap = _coarse_pos_map(lev.shape, lev.strides)
-            sub = _selection_terms(np.arange(fmap.size), fmap,
-                                   r_next, r_l)
-            intl = _selection_terms(fmap, np.arange(fmap.size),
-                                    r_l, r_next)
+            sub, intl = _transfer_terms(tuple(lev.shape),
+                                        tuple(lev.strides),
+                                        int(r_next), int(r_l))
             if sub is None or intl is None:
                 ok = False
                 break
