@@ -109,6 +109,15 @@ def main():
     if err_cols:
         study = sigma_bar_study(perf_df, err_col=err_cols[0])
         card["sigma_bar_elbow"] = float(study["sigma_bar"])
+        # deployment summary WITH the reference's σ̄ filter at the elbow
+        # (predictions whose uncertainty exceeds it revert to θ = 0.5,
+        # reference model_evaluation.py:27-84): trades mean gain for
+        # never-worse-than-default robustness
+        from amg_ann_tpu.pipeline.evaluate import get_summary_perf
+
+        filt = get_summary_perf(perf_df, sigma_bar=card["sigma_bar_elbow"])
+        card["summary_sigma_filtered"] = {k: float(v)
+                                          for k, v in filt.items()}
     with open(os.path.join(args.models, "card.json"), "w") as f:
         json.dump(card, f, indent=1)
     print("card ->", os.path.join(args.models, "card.json"))
