@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -384,9 +385,11 @@ def _setup_chain_dev(s0, theta, *, shape, slots, interp, mrs, schedule):
     levels, nnz_dev = [], []
     for l, (s_l, sh) in enumerate(zip(stencils, shapes)):
         inv_diag, inv_l1, lam = level_stats_dev(s_l)
-        if int(np.prod(sh)) <= 100_000:
-            # small (coarse Galerkin) levels: Gershgorin is loose there —
-            # power-iterate on device (host-path policy)
+        # small (coarse Galerkin) levels: Gershgorin is loose there —
+        # power-iterate on device (host-path policy). Env knob = setup
+        # A/B attribution lever (bench/setup_marginal_tpu.py)
+        if int(np.prod(sh)) <= int(os.environ.get("AMG_LAM_POWER_MAX",
+                                                  "100000")):
             lam = lam_power_dev(s_l, inv_diag)
         data, offs = stencil_to_dia_dev(s_l, sh, slots=slot_list[l])
         has_next = l < len(stencils) - 1

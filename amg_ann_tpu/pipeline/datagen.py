@@ -291,6 +291,14 @@ def _write_eigen_rows(fh, prefix, a, cfg: SweepConfig):
 
 def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
     naggr = cfg.aggressive_levels
+    import jax as _jax
+
+    # accelerator classical sweeps: f32 hierarchy (emulated f64 would
+    # dominate) + WELL device format (the gather-free unstructured
+    # kernel); requires the relative-tolerance mode the structured TPU
+    # datasets already use (tnl is tolerance-level agnostic)
+    on_acc = _jax.default_backend() in ("tpu", "axon")
+    dtype = np.float32 if (on_acc and cfg.rtol_mode) else None
     for theta in _sweep_values(cfg.strong_threshold):
         for mrs in _sweep_values(cfg.max_row_sum):
             for sym in range(int(cfg.symmetric_operator[0]),
@@ -300,7 +308,7 @@ def _write_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig):
                     max_row_sum=mrs,
                     aggressive_coarsening_num_levels=naggr,
                     output_details=cfg.output_setup_details,
-                    smoother=cfg.smoother,
+                    smoother=cfg.smoother, dtype=dtype,
                     # bucket device shapes so the θ sweep reuses jitted
                     # solves instead of recompiling per hierarchy shape
                     shape_buckets=True)
