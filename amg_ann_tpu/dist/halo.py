@@ -44,14 +44,29 @@ def dia_halo(offsets) -> int:
 # mode — it exists only for timing.
 COMM_OFF = False
 
+# When a list, every maybe_* call appends (kind, local_shape, dtype) at
+# TRACE time — tracing the solve once (fresh caches) harvests the
+# collective schedule (loop-body collectives appear once per textual
+# call site). dist/multihost.comm_breakdown uses it to time the same
+# collectives in isolation (no compute to overlap with).
+COMM_LOG = None
+
+
+def _log(kind, x):
+    if COMM_LOG is not None:
+        COMM_LOG.append((kind, tuple(int(s) for s in x.shape),
+                         str(x.dtype)))
+
 
 def maybe_ppermute(x, axis, pairs):
+    _log("ppermute", x)
     if COMM_OFF:
         return jnp.zeros_like(x)
     return jax.lax.ppermute(x, axis, pairs)
 
 
 def maybe_all_gather(x, axis, ndev: int):
+    _log("all_gather", x)
     if COMM_OFF:
         return jnp.tile(x, ndev)
     return jax.lax.all_gather(x, axis, tiled=True)

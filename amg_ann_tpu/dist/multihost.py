@@ -21,6 +21,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def initialize(coordinator_address: str | None = None,
@@ -121,6 +122,43 @@ def scaling_report(n: int = 64, rtol: float = 1e-6,
     }
 
 
+def _time_collectives(mesh, log, iters: int, reps: int = 3) -> float:
+    """Time `iters` repetitions of the logged collective schedule, alone.
+
+    Each logged (kind, local_shape, dtype) becomes one ppermute ring shift
+    / tiled all-gather inside a shard_map'd lax.scan; a scalar carry
+    chains them so XLA cannot reorder or elide the sequence."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(mesh.devices.shape))
+    pairs = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local(_):
+        def step(acc, _x):
+            for kind, shape, dt in log:
+                v = jnp.full(shape, 1, dtype=dt) * (1 + 0 * acc).astype(dt)
+                if kind == "ppermute":
+                    v = jax.lax.ppermute(v, axis, pairs)
+                else:
+                    v = jax.lax.all_gather(v, axis, tiled=True)
+                acc = acc + v.reshape(-1)[0].astype(jnp.float32)
+            return acc, None
+        acc0 = jax.lax.pvary(jnp.float32(0.0), (axis,))
+        acc, _ = jax.lax.scan(step, acc0, None, length=iters)
+        return jax.lax.psum(acc, axis)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=P(axis), out_specs=P()))
+    x = jnp.zeros((ndev,), dtype=jnp.float32)
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(fn(x))
+    return (time.perf_counter() - t0) / reps
+
+
 def comm_breakdown(n: int = 48, iters: int = 12,
                    n_devices: int | None = None) -> dict:
     """Communication vs compute split of the sharded structured solve.
@@ -161,7 +199,29 @@ def comm_breakdown(n: int = 48, iters: int = 12,
         halo_mod.COMM_OFF = False
 
     t_comm = max(t_on - t_off, 0.0)
+
+    # Isolated comm: harvest the collective schedule (one trace with
+    # COMM_LOG on; loop-body collectives appear once per call site ≈ one
+    # PCG iteration's worth plus setup/tail one-offs), then run ONLY those
+    # ppermutes/all-gathers, chained, `iters` times on the same mesh. The
+    # gap t_comm_isolated - t_comm is the exchange time the async
+    # scheduler hides under interior compute (halo-overlap verification).
+    jax.clear_caches()
+    halo_mod.COMM_LOG = log = []
+    try:
+        res = dist_structured_solve(h, b, mesh=mesh, rtol=0.0, tol=0.0,
+                                    maxiter=1)
+        jax.block_until_ready(res.x)
+    finally:
+        halo_mod.COMM_LOG = None
+    t_iso = _time_collectives(mesh, log, iters) if log else 0.0
+
     return {
+        "collectives_per_iter": len(log),
+        "t_comm_isolated_s": t_iso,
+        "t_comm_hidden_s": max(t_iso - t_comm, 0.0),
+        "overlap_hidden_fraction": (max(t_iso - t_comm, 0.0) / t_iso
+                                    if t_iso > 0 else 0.0),
         "n": n,
         "devices": n_devices,
         "processes": jax.process_count(),

@@ -357,9 +357,15 @@ def _write_structured_sweep_rows(fh, prefix, a, b, x0, cfg: SweepConfig,
 
         if _jax.default_backend() in ("tpu", "axon"):
             stencil = jnp.asarray(sb)
+            # CANONICAL full slot set — slots is a static argument of the
+            # one-jit block setup chain; deriving it from the problem's
+            # incidental numeric zeros makes it seed-dependent and forces
+            # a fresh ~700 s chain compile per problem (measured, r4:
+            # 5 distinct tuples in 12 ref-3 problems). The full 243-slot
+            # chain costs ~25% more device time per setup (~0.05 s) and
+            # compiles ONCE per (shape, schedule) for the whole dataset.
             a_slots = tuple((k, ci, cj) for k in range(27)
-                            for ci in range(nb) for cj in range(nb)
-                            if np.any(sb[k, ci, cj]))
+                            for ci in range(nb) for cj in range(nb))
         else:
             stencil = sb
     else:

@@ -62,7 +62,8 @@ def scalar_case(n):
             "converged": bool(res.converged)}
 
 
-def block_case(ref=4):
+def block_case(ref=4, smoother="chebyshev",
+               thetas=(0.15, 0.2, 0.5, 0.85, 0.91)):
     from amg_ann_tpu.amg.boxmg_block import (csr_to_block_stencil,
                                              setup_structured_block)
     from amg_ann_tpu.fem.elasticity import LinearElasticity
@@ -78,7 +79,7 @@ def block_case(ref=4):
     a_slots = tuple((k, ci, cj) for k in range(27)
                     for ci in range(nb) for cj in range(nb)
                     if np.any(sb[k, ci, cj]))
-    params = AMGParams(strong_threshold=0.5, smoother="chebyshev",
+    params = AMGParams(strong_threshold=0.5, smoother=smoother,
                        aggressive_coarsening_num_levels=2,
                        dtype=np.float32)
     t0 = time.perf_counter()
@@ -86,33 +87,48 @@ def block_case(ref=4):
                                stencil=stencil, slots=a_slots,
                                device_setup=True)
     t_cold = time.perf_counter() - t0
-    ts = []
-    for th in (0.5, 0.55, 0.6):
-        pp = AMGParams(strong_threshold=th, smoother="chebyshev",
+    ts, tsolves, niters = [], [], []
+    for th in thetas:
+        pp = AMGParams(strong_threshold=th, smoother=smoother,
                        aggressive_coarsening_num_levels=2,
                        dtype=np.float32)
+        # the datagen pattern: warm + 2 timed setups, then 3 solves
+        h = setup_structured_block(a, gs, pp, np.float32, nb=nb,
+                                   stencil=stencil, slots=a_slots,
+                                   device_setup=True)
         t0 = time.perf_counter()
         h = setup_structured_block(a, gs, pp, np.float32, nb=nb,
                                    stencil=stencil, slots=a_slots,
                                    device_setup=True)
         ts.append(time.perf_counter() - t0)
-    r = amg_solve(a, b, pp, x0=x0, hierarchy=h, rtol=1e-6, tol=0.0)
-    return {"case": f"block_r{ref}", "ndof": a.nrows,
+        r = amg_solve(a, b, pp, x0=x0, hierarchy=h, rtol=1e-6, tol=0.0)
+        t0 = time.perf_counter()
+        r = amg_solve(a, b, pp, x0=x0, hierarchy=h, rtol=1e-6, tol=0.0)
+        tsolves.append(time.perf_counter() - t0)
+        niters.append(r.niters)
+    return {"case": f"block_r{ref}_{smoother}", "ndof": a.nrows,
             "t_setup_cold_s": round(t_cold, 2),
+            "thetas": list(thetas),
             "t_setup_warm_s": [round(t, 3) for t in ts],
-            "niters": r.niters, "converged": bool(r.converged)}
+            "t_solve_warm_s": [round(t, 3) for t in tsolves],
+            "niters": niters, "converged": bool(r.converged)}
 
 
 def main():
     print("device", jax.devices()[0].device_kind, file=sys.stderr)
-    ns = [int(x) for x in sys.argv[1:]] or [64, 128]
+    ns = [int(x) for x in sys.argv[1:]]
+    if not ns and os.environ.get("BENCH_SCALAR", "1") != "0":
+        ns = [64, 128]
     out = []
     for n in ns:
         out.append(scalar_case(n))
         print(json.dumps(out[-1]), flush=True)
     if os.environ.get("BENCH_BLOCK", "1") != "0":
-        out.append(block_case())
-        print(json.dumps(out[-1]), flush=True)
+        ref = int(os.environ.get("BENCH_BLOCK_REF", "4"))
+        for smoother in os.environ.get("BENCH_SMOOTHERS",
+                                       "chebyshev").split(","):
+            out.append(block_case(ref=ref, smoother=smoother))
+            print(json.dumps(out[-1]), flush=True)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,15 @@ def main():
                         "train_hyperparameters.csv")
     os.makedirs(args.models, exist_ok=True)
     results = []
+    if os.path.exists(args.out):            # merge: resumable across runs
+        with open(args.out) as f:
+            results = json.load(f)
+    done_sizes = {r["n_problems"] for r in results}
     for size in args.sizes:
+        size = min(size, len(probs))
+        if size in done_sizes:
+            print(f"size {size} already in {args.out} (skip)")
+            continue
         sub = probs.iloc[order[:size]]
         s_sub = stats.merge(sub, on=keys)
         v_sub = views.merge(sub, on=[k for k in keys
@@ -75,7 +83,7 @@ def main():
         name = hyper.iloc[0]["name"]
         summary = eval_model(args.models, name,
                              os.path.join(args.processed, "test"))
-        results.append({"n_problems": size, "model": name,
+        results.append({"n_problems": int(size), "model": name,
                         "n_rows": int(len(s_sub)),
                         "best_mse": float(hyper.iloc[0]["mse"]),
                         "heldout": {k: float(v)
