@@ -106,9 +106,23 @@ def main():
         "ndof_max": int(df["ndof"].max()),
         "summary": {k: float(v) for k, v in summary.items()},
     }
-    if err_cols:
+    err_informative = bool(err_cols) and bool(
+        np.nanmax(np.abs(perf_df[err_cols[0]].to_numpy(dtype=float))) > 0)
+    if err_cols and not err_informative:
+        # learn_err=0 configurations (e.g. the reference's tc2 row) have
+        # no uncertainty head — σ̂ ≡ 0 and an elbow would be the
+        # degenerate 0.0 the round-3 review flagged; record why instead
+        card["sigma_bar_elbow"] = None
+        card["sigma_bar_note"] = ("no uncertainty head (learn_err=0 in "
+                                  "the reference hyperparameters) — the "
+                                  "sigma-bar study needs a learn_err "
+                                  "model")
+    if err_informative:
         study = sigma_bar_study(perf_df, err_col=err_cols[0])
         card["sigma_bar_elbow"] = float(study["sigma_bar"])
+        if len(perf_df) < 10:
+            card["sigma_bar_note"] = (f"elbow over only {len(perf_df)} "
+                                      "test problems — indicative only")
         # deployment summary WITH the reference's σ̄ filter at the elbow
         # (predictions whose uncertainty exceeds it revert to θ = 0.5,
         # reference model_evaluation.py:27-84): trades mean gain for
