@@ -290,3 +290,36 @@ class TestShardedSetup:
         b = a.matvec(np.random.default_rng(0).random(n ** 3))
         r = amg_solve(a, b, params, hierarchy=h_sh, rtol=1e-6, tol=0.0)
         assert bool(r.converged)
+
+
+class TestCommInstrumentation:
+    """r4: the isolated-comm measurement (dist/multihost._time_collectives
+    + dist/halo.COMM_LOG) behind bench/MULTIHOST_ANALYSIS.md."""
+
+    def test_comm_log_records_collectives(self, mesh):
+        from amg_ann_tpu.dist import halo as halo_mod
+        from amg_ann_tpu.dist.structured import dist_structured_solve
+        from amg_ann_tpu.dist.multihost import _bench_problem
+
+        h, b, _ = _bench_problem(16)
+        jax.clear_caches()
+        halo_mod.COMM_LOG = log = []
+        try:
+            res = dist_structured_solve(h, b, mesh=mesh, rtol=0.0,
+                                        tol=0.0, maxiter=1)
+            jax.block_until_ready(res.x)
+        finally:
+            halo_mod.COMM_LOG = None
+        assert len(log) > 0
+        kinds = {k for k, _, _ in log}
+        assert "ppermute" in kinds
+        for _, shape, dt in log:
+            assert all(isinstance(s, int) for s in shape)
+
+    def test_time_collectives_positive(self, mesh):
+        from amg_ann_tpu.dist.multihost import _time_collectives
+
+        log = [("ppermute", (4, 4), "float32"),
+               ("all_gather", (8,), "float32")]
+        t = _time_collectives(mesh, log, iters=3, reps=1)
+        assert t > 0.0
