@@ -19,7 +19,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_configs(n_seeds: int = 3, extended: bool = False):
+def make_configs(n_seeds: int = 3, extended: bool = False,
+                 theta_step: float = 0.05, seed_offset: int = 0,
+                 name_suffix: str = ""):
     """Base grid: 9 mesh families × refinements × degree 1-2 × seeds, all
     at maxdiff=6 / cuthill_mckee. `extended` adds the reference's other
     sweep axes (datagen.py:26-34): max diffusion exponent ∈ {1, 3, 10}
@@ -38,7 +40,7 @@ def make_configs(n_seeds: int = 3, extended: bool = False):
                        ("ReplicateCross", (1,))):
         for ref in refs:
             for deg in (1, 2) if ref == refs[0] else (1,):
-                for seed in range(n_seeds):
+                for seed in range(seed_offset, seed_offset + n_seeds):
                     cfgs.append(SweepConfig(
                         app=APP_TC1,
                         problem=dict(mesh=mesh, refinements=ref,
@@ -46,47 +48,47 @@ def make_configs(n_seeds: int = 3, extended: bool = False):
                                      max_diffusion=6.0,
                                      renumbering="cuthill_mckee"),
                         tol=1e-6, rtol_mode=True, smoother="chebyshev",
-                        strong_threshold=(0.05, 0.96, 0.05),
+                        strong_threshold=(0.05, 0.96, theta_step),
                         cycles=1,
-                        setting_name=f"tc1ref-{mesh}-r{ref}-d{deg}-s{seed}",
+                        setting_name=f"tc1ref-{mesh}-r{ref}-d{deg}-s{seed}{name_suffix}",
                     ))
         if extended:
             # extended axes follow n_seeds (degree-3 stays a thin parity
             # slice: P3 assembly is the slowest per problem)
             ref, nsx = refs[0], n_seeds
-            for seed in range(min(n_seeds, 2)):   # degree-3 parity slice
+            for seed in range(seed_offset, seed_offset + min(n_seeds, 2)):   # degree-3 parity slice
                 cfgs.append(SweepConfig(
                     app=APP_TC1,
                     problem=dict(mesh=mesh, refinements=ref, degree=3,
                                  seed=seed, max_diffusion=6.0,
                                  renumbering="cuthill_mckee"),
                     tol=1e-6, rtol_mode=True, smoother="chebyshev",
-                    strong_threshold=(0.05, 0.96, 0.05), cycles=1,
-                    setting_name=f"tc1ref-{mesh}-r{ref}-d3-s{seed}",
+                    strong_threshold=(0.05, 0.96, theta_step), cycles=1,
+                    setting_name=f"tc1ref-{mesh}-r{ref}-d3-s{seed}{name_suffix}",
                 ))
             for md in (1.0, 3.0, 10.0):
-                for seed in range(nsx):
+                for seed in range(seed_offset, seed_offset + nsx):
                     cfgs.append(SweepConfig(
                         app=APP_TC1,
                         problem=dict(mesh=mesh, refinements=ref, degree=1,
                                      seed=seed, max_diffusion=md,
                                      renumbering="cuthill_mckee"),
                         tol=1e-6, rtol_mode=True, smoother="chebyshev",
-                        strong_threshold=(0.05, 0.96, 0.05), cycles=1,
+                        strong_threshold=(0.05, 0.96, theta_step), cycles=1,
                         setting_name=(f"tc1ref-{mesh}-r{ref}-d1-s{seed}"
-                                      f"-m{md:g}"),
+                                      f"-m{md:g}{name_suffix}"),
                     ))
             for renum in ("none", "king_ordering", "subdomain_wise"):
-                for seed in range(nsx):
+                for seed in range(seed_offset, seed_offset + nsx):
                     cfgs.append(SweepConfig(
                         app=APP_TC1,
                         problem=dict(mesh=mesh, refinements=ref, degree=1,
                                      seed=seed, max_diffusion=6.0,
                                      renumbering=renum),
                         tol=1e-6, rtol_mode=True, smoother="chebyshev",
-                        strong_threshold=(0.05, 0.96, 0.05), cycles=1,
+                        strong_threshold=(0.05, 0.96, theta_step), cycles=1,
                         setting_name=(f"tc1ref-{mesh}-r{ref}-d1-s{seed}"
-                                      f"-{renum}"),
+                                      f"-{renum}{name_suffix}"),
                     ))
     return cfgs
 
@@ -103,6 +105,12 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="keep the existing stats.csv and skip configs "
                          "whose setting name already appears in it")
+    ap.add_argument("--fine-theta", action="store_true",
+                    help="37-point reference theta grid (0.05-0.96/0.025, "
+                         "testcase1 datagen.py:33 — gives SavGol(21,7) its "
+                         "designed window) with NEW seeds (offset 100) and "
+                         "a '-f' name suffix so it never collides with the "
+                         "19-point tranches")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +119,9 @@ def main():
 
     from amg_ann_tpu.pipeline.datagen import run_config
 
-    cfgs = make_configs(args.seeds, extended=args.extended)
+    kw = (dict(theta_step=0.025, seed_offset=100, name_suffix="-f")
+          if args.fine_theta else {})
+    cfgs = make_configs(args.seeds, extended=args.extended, **kw)
     print(f"{len(cfgs)} configurations (cpu classical path)")
     jobs = []
     if not args.pooling_only:
