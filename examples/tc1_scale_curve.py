@@ -81,6 +81,22 @@ def main():
         mrow.to_csv(one, index=False)
         hyper = run_hyperparameter_csv(args.models, d, one, verbose=False)
         name = hyper.iloc[0]["name"]
+        # targets are tnl in [0, 1]; an MSE above 1 can only mean the
+        # heteroscedastic mse_mvar run diverged (observed once at
+        # size=600: loss 1e16 while the same protocol trains fine at
+        # 300/877) — retry at a lower learning rate
+        lr = float(mrow.iloc[0]["lr"])
+        for _retry in range(2):
+            if float(hyper.iloc[0]["mse"]) <= 1.0:
+                break
+            lr *= 0.3
+            print(f"size {size}: diverged (mse="
+                  f"{float(hyper.iloc[0]['mse']):.3g}) — retry lr={lr:g}")
+            mrow["lr"] = lr
+            mrow.to_csv(one, index=False)
+            hyper = run_hyperparameter_csv(args.models, d, one,
+                                           verbose=False)
+            name = hyper.iloc[0]["name"]
         summary = eval_model(args.models, name,
                              os.path.join(args.processed, "test"))
         results.append({"n_problems": int(size), "model": name,
