@@ -243,6 +243,29 @@ def interp_weights_boxmg_dev(s, theta, *, strides=(2, 2, 2), mrs=0.9):
     return jnp.stack([w.get(k, zero_grid) for k in range(27)])
 
 
+# Above this many fine-grid points, rap_stencil_dev pre-relayouts its
+# inputs parity-major: each of the ~1500 contraction terms otherwise
+# reads a stride-2 slice of the minor (lane) axis, which costs a vector
+# relayout PER TERM — measured 2.55 s of the 3.0 s warm 128³ device
+# setup (bench/setup_profile_tpu.py, VERDICT r4 item 7). Small grids
+# keep the direct slicing so existing small-shape executables (the tc3
+# block chains, 17³/33³) stay byte-identical in .jax_cache.
+_RAP_PARITY_MAJOR_MIN = 200_000
+
+
+def _rap_pm_layout(a4, strides):
+    """(27, P0, P1, P2) padded → (27, p0, p1, p2, H0, H1, H2): stride-2
+    axes split into (half, parity) then parity axes moved out front, so
+    every term of the RAP contraction reads a CONTIGUOUS block. Stride-1
+    axes get parity dims of size 1."""
+    shp = [a4.shape[0]]
+    for ax, st in enumerate(strides):
+        P = a4.shape[1 + ax]
+        shp.extend([P // 2, 2] if st == 2 else [P, 1])
+    x = a4.reshape(shp)                       # (K, H0,p0, H1,p1, H2,p2)
+    return x.transpose(0, 2, 4, 6, 1, 3, 5)   # (K, p0,p1,p2, H0,H1,H2)
+
+
 @functools.partial(jax.jit, static_argnames=("strides", "a_slots"))
 def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
     """jnp twin of boxmg.rap_stencil; a_slots = static tuple of the A
@@ -252,18 +275,37 @@ def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
     shape = s.shape[1:]
     m = tuple(n // st for n, st in zip(shape, strides))
     tables = [_DJ_TABLE2 if st == 2 else _DJ_TABLE1 for st in strides]
-    pad = ((0, 0), (2, 2), (2, 2), (2, 2))
+    parity_major = int(np.prod(shape)) >= _RAP_PARITY_MAJOR_MIN
+    # right-pad to even length on stride-2 axes for the parity reshape
+    extra = tuple((n + 4) % 2 if (parity_major and st == 2) else 0
+                  for n, st in zip(shape, strides))
+    pad = ((0, 0),) + tuple((2, 2 + e) for e in extra)
     sp = jnp.pad(s, pad)
     wp = jnp.pad(w, pad)
     wlp = wp if w_left is None else jnp.pad(w_left, pad)
     if a_slots is None:
         a_slots = tuple(range(27))
 
-    def sub(arr_k, t):
-        sl = tuple(
-            slice(2 + (st - 1) + t[ax], 2 + (st - 1) + t[ax] + st * m[ax], st)
-            for ax, st in enumerate(strides))
-        return arr_k[sl]
+    if parity_major:
+        sp = _rap_pm_layout(sp, strides)
+        wp = _rap_pm_layout(wp, strides)
+        wlp = wp if w_left is None else _rap_pm_layout(wlp, strides)
+
+        def sub(arr, k, t):
+            idx, sls = [k], []
+            for ax, st in enumerate(strides):
+                s0 = 2 + (st - 1) + t[ax]
+                idx.append(s0 % 2 if st == 2 else 0)
+                b = s0 // 2 if st == 2 else s0
+                sls.append(slice(b, b + m[ax]))
+            return arr[tuple(idx) + tuple(sls)]
+    else:
+        def sub(arr, k, t):
+            sl = tuple(
+                slice(2 + (st - 1) + t[ax],
+                      2 + (st - 1) + t[ax] + st * m[ax], st)
+                for ax, st in enumerate(strides))
+            return arr[(k,) + sl]
 
     acc = {k: jnp.zeros(m, dtype=s.dtype) for k in range(27)}
     for d1 in DIRS:
@@ -271,10 +313,10 @@ def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
         if any(st == 1 and d != 0 for st, d in zip(strides, d1)):
             continue
         k1 = dir_index((-d1[0], -d1[1], -d1[2]))
-        w1 = sub(wlp[k1], d1)
+        w1 = sub(wlp, k1, d1)
         for ka in a_slots:
             da = DIRS[ka]
-            wa = w1 * sub(sp[ka], d1)
+            wa = w1 * sub(sp, ka, d1)
             t2 = (d1[0] + da[0], d1[1] + da[1], d1[2] + da[2])
             for dx2, djx in tables[0][t2[0]]:
                 for dy2, djy in tables[1][t2[1]]:
@@ -284,7 +326,7 @@ def rap_stencil_dev(s, w, *, strides=(2, 2, 2), a_slots=None, w_left=None):
                             continue
                         kj = dir_index((djx, djy, djz))
                         kd = dir_index((dx2, dy2, dz2))
-                        acc[kd] = acc[kd] + wa * sub(wp[kj], t2)
+                        acc[kd] = acc[kd] + wa * sub(wp, kj, t2)
     return jnp.stack([acc[k] for k in range(27)])
 
 
