@@ -218,6 +218,12 @@ def comm_breakdown(n: int = 48, iters: int = 12,
 
     return {
         "collectives_per_iter": len(log),
+        # COMM_LOG harvests only the halo ppermutes / tail all-gathers; the
+        # per-iteration PCG dot-product psums (dist/structured.py) are NOT
+        # replayed, so t_comm_isolated_s undercounts by the latency-bound
+        # scalar reductions (consistent with COMM_OFF, which also leaves
+        # psums on — they cancel out of t_comm_s but not out of t_iso).
+        "psum_excluded": True,
         "t_comm_isolated_s": t_iso,
         "t_comm_hidden_s": max(t_iso - t_comm, 0.0),
         "overlap_hidden_fraction": (max(t_iso - t_comm, 0.0) / t_iso

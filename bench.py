@@ -4,8 +4,11 @@ Prints ONE JSON line:
   metric      sustained V-cycle + SpMV kernel throughput at FIXED work:
               a PCG loop forced to run exactly BENCH_FIXED_ITERS
               iterations (tol=rtol=0), nnz traversed per second.
-  vs_baseline fraction of the single-chip HBM speed-of-light bound
-              (bytes-per-nnz roofline; see the `sol` comment in main()).
+  vs_baseline fraction of the single-chip HBM speed-of-light bound under
+              the DIA-format-TRUE byte accounting (~7 B/nnz — see the
+              roofline comment in main()); r1-r4 used a 12 B/nnz ELL
+              accounting, kept as `vs_ell_roofline` for continuity
+              (VERDICT r4 item 10: honest roofline).
 
 Why fixed work (round-4 metric change): through round 3 the headline was
 nnz/s through the CONVERGENT solve, so algorithmic improvements that cut
@@ -56,6 +59,17 @@ def _vcycle_nnz(stats, n_pre=1, n_post=1):
         total += smooth + residual
     total += stats.rows[-1] ** 2            # coarsest dense solve
     # P and R applications ≈ 2 × Σ nnz(P_l); memory complexity carries Σ P
+    return total
+
+
+def _vcycle_rows(stats, n_pre=1, n_post=1):
+    """row (vector-element) traversals matching _vcycle_nnz's counting —
+    one entry per SpMV-like pass, used for the DIA-true roofline."""
+    total = 0
+    L = stats.n_levels
+    for l in range(L - 1):
+        total += (n_pre + n_post + 1) * stats.rows[l]
+    total += stats.rows[-1]
     return total
 
 
@@ -223,15 +237,34 @@ def main():
     fixed_nnz = (FIXED_ITERS + 1) * pcg_iter_nnz
     nnz_per_s = fixed_nnz / t_fixed
 
-    # speed-of-light: f32 ELL SpMV streams 4B data + 4B cols + ~4B gathered
-    # x per nnz (output amortized) ⇒ 12 B/nnz at HBM bandwidth
-    sol = _hbm_bandwidth_gbs() * 1e9 / 12.0
+    # --- rooflines (VERDICT r4 item 10: format-true accounting) ---------
+    # (a) DIA-true: the hot path stores NO column indices. Per SpMV-like
+    #     pass a level streams 4 B/nnz of band data plus ~6 f32 vector
+    #     streams per ROW (x in, y out, and the fused residual-carrying
+    #     smoother's r/b/inv_diag/aux) — x reuse across bands is what the
+    #     halo-blocked Pallas kernel buys. vs_baseline is measured bytes/s
+    #     over HBM bandwidth under THIS accounting (honest: ~6-8 B/nnz at
+    #     a 7-point fine level, vs the ELL 12 B/nnz used through r4).
+    # (b) ELL 12 B/nnz (4B data + 4B cols + ~4B gathered x): kept as the
+    #     r1-r4 continuity figure, vs_ell_roofline.
+    hbm_bs = _hbm_bandwidth_gbs() * 1e9
+    rows_per_cycle = _vcycle_rows(h.stats) + 2 * sum(p.nrows
+                                                     for p in h.p_mats)
+    pcg_iter_rows = rows_per_cycle + h.stats.rows[0]
+    fixed_bytes = (FIXED_ITERS + 1) * (4.0 * pcg_iter_nnz
+                                       + 24.0 * pcg_iter_rows)
+    dia_bytes_per_nnz = fixed_bytes / fixed_nnz
+    eff_bytes_per_s = fixed_bytes / t_fixed
+    sol_ell = hbm_bs / 12.0
 
     out = {
         "metric": "amg_vcycle_pcg_fixed_work_throughput",
         "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(nnz_per_s / sol, 4),
+        "vs_baseline": round(eff_bytes_per_s / hbm_bs, 4),
+        "vs_ell_roofline": round(nnz_per_s / sol_ell, 4),
+        "dia_bytes_per_nnz": round(dia_bytes_per_nnz, 2),
+        "eff_gb_per_s": round(eff_bytes_per_s / 1e9, 1),
         "fixed_iters": FIXED_ITERS,
         "t_fixed_s": round(t_fixed, 4),
         "tts_s": round(t_solve, 4),

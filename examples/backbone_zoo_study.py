@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--processed", default="data/processed/tc2-ref")
     ap.add_argument("--models", default="data/models/backbone-zoo")
-    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--no-resume", dest="resume", action="store_false",
+                    help="retrain backbones already present in zoo.json")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +55,9 @@ def main():
     if os.path.exists(out_json):
         with open(out_json) as f:
             results = json.load(f)
-    done = {r["cnn_type"] for r in results}
+    done = {r["cnn_type"] for r in results} if args.resume else set()
+    if not args.resume:
+        results = []
 
     for bb in args.backbones:
         if bb in done:
@@ -87,20 +90,26 @@ def main():
         with open(out_json, "w") as f:
             json.dump(results, f, indent=1)
 
-    # markdown table
+    # markdown table (keys are get_summary_perf's output contract)
+    want = ["frac_good", "mean_gain", "perf_mean", "perf_medi"]
+    for r in results:
+        missing = [k for k in want if k not in r["heldout"]]
+        if missing:
+            print(f"WARNING: {r['cnn_type']} summary missing {missing}")
     lines = ["# Backbone zoo on tc2-ref (same protocol, "
              f"{args.epochs} epochs, no pretrain)", "",
-             "| cnn_type | val MSE | frac_good | mean gain | P̄ (perf_mean)"
-             " | P̄_max |",
-             "|---|---|---|---|---|---|"]
+             "| cnn_type | params | val MSE | frac_good | mean gain "
+             "| realization mean | realization median |",
+             "|---|---|---|---|---|---|---|"]
     for r in sorted(results, key=lambda r: r["best_mse"]):
         h = r["heldout"]
         lines.append(
-            f"| {r['cnn_type']} | {r['best_mse']:.4f} "
+            f"| {r['cnn_type']} | {r.get('n_params') or '?'} "
+            f"| {r['best_mse']:.4f} "
             f"| {h.get('frac_good', float('nan')):.2f} "
             f"| {h.get('mean_gain', float('nan')):+.3f} "
             f"| {h.get('perf_mean', float('nan')):.3f} "
-            f"| {h.get('perf_max_mean', h.get('perf_medi', float('nan'))):.3f} |")
+            f"| {h.get('perf_medi', float('nan')):.3f} |")
     with open(os.path.join(args.models, "zoo.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", out_json)

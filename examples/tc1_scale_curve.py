@@ -97,8 +97,15 @@ def main():
             hyper = run_hyperparameter_csv(args.models, d, one,
                                            verbose=False)
             name = hyper.iloc[0]["name"]
+        if float(hyper.iloc[0]["mse"]) > 1.0:
+            # still diverged after the retries — a diverged entry must
+            # never ship in curve.json (it would poison the scale curve)
+            print(f"size {size}: STILL diverged after retries "
+                  f"(mse={float(hyper.iloc[0]['mse']):.3g}) — skipped")
+            continue
         summary = eval_model(args.models, name,
                              os.path.join(args.processed, "test"))
+        done_sizes.add(size)
         results.append({"n_problems": int(size), "model": name,
                         "n_rows": int(len(s_sub)),
                         "best_mse": float(hyper.iloc[0]["mse"]),

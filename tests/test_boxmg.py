@@ -578,3 +578,50 @@ class TestBoxMGInterp:
         off_lattice = (~geo) & ~((np.arange(27) == 13)[:, None, None, None]
                                  & c_mask[None])
         assert np.abs(np.where(off_lattice, w, 0.0)).max() == 0.0
+
+
+class TestRAPParityMajor:
+    """The parity-major RAP relayout (boxmg_device._rap_pm_layout) is
+    gated at 200k points, so the normal CPU suite only exercises the
+    legacy slicing path. Force the gate to 1 and pin equivalence
+    (ADVICE r4: odd shapes, mixed strides, w_left)."""
+
+    @staticmethod
+    def _rand(shape, seed):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((27,) + shape).astype(np.float32)
+
+    @pytest.mark.parametrize("shape,strides", [
+        ((8, 8, 8), (2, 2, 2)),
+        ((9, 10, 11), (2, 2, 2)),     # odd + mixed-parity extents
+        ((8, 9, 8), (2, 1, 2)),       # semicoarsened middle axis
+        ((7, 8, 9), (1, 2, 2)),
+    ])
+    def test_matches_direct_path(self, monkeypatch, shape, strides):
+        from amg_ann_tpu.amg import boxmg_device as bd
+
+        s = jnp.asarray(self._rand(shape, 0))
+        w = jnp.asarray(self._rand(shape, 1))
+        raw = bd.rap_stencil_dev.__wrapped__   # unjitted: no cache reuse
+        monkeypatch.setattr(bd, "_RAP_PARITY_MAJOR_MIN", 10**12)
+        direct = np.asarray(raw(s, w, strides=strides))
+        monkeypatch.setattr(bd, "_RAP_PARITY_MAJOR_MIN", 1)
+        pm = np.asarray(raw(s, w, strides=strides))
+        np.testing.assert_allclose(pm, direct, rtol=1e-6, atol=1e-6)
+
+    def test_matches_direct_path_w_left(self, monkeypatch):
+        from amg_ann_tpu.amg import boxmg_device as bd
+
+        shape, strides = (9, 8, 10), (2, 2, 2)
+        s = jnp.asarray(self._rand(shape, 2))
+        w = jnp.asarray(self._rand(shape, 3))
+        wl = jnp.asarray(self._rand(shape, 4))
+        slots = tuple(range(0, 27, 2))        # sparse a_slots too
+        raw = bd.rap_stencil_dev.__wrapped__
+        monkeypatch.setattr(bd, "_RAP_PARITY_MAJOR_MIN", 10**12)
+        direct = np.asarray(raw(s, w, strides=strides, a_slots=slots,
+                                w_left=wl))
+        monkeypatch.setattr(bd, "_RAP_PARITY_MAJOR_MIN", 1)
+        pm = np.asarray(raw(s, w, strides=strides, a_slots=slots,
+                            w_left=wl))
+        np.testing.assert_allclose(pm, direct, rtol=1e-6, atol=1e-6)
