@@ -395,3 +395,68 @@ def test_structured_sweep_rows_tc3(tmp_path):
     assert (df["niters"] > 0).all()
     res0 = [float(x) for x in df.iloc[0]["p_res"].strip('"').split(",")]
     assert res0[-1] / res0[0] <= 1e-6
+
+
+class TestMvarWarmup:
+    """Regression for the r4 mse_mvar epoch-0 runaway (VERDICT r5 item 1).
+
+    Mechanism (see ann/train.create_state docstring): Adam early steps
+    are ±lr sign-steps; the quartic variance term locks coherent
+    gradient signs across the bottleneck fan-in once |error| > 1. A
+    scaled-down provocation (smaller net, larger lr to compensate for
+    the smaller fan-in) diverges without warmup and trains with it."""
+
+    @staticmethod
+    def _data(n=96, vs=12, seed=0):
+        rng = np.random.default_rng(seed)
+        view = rng.random((n, vs, vs, 2), dtype=np.float32)
+        pvec = rng.random((n, 2)).astype(np.float32)
+        tgt = rng.random(n).astype(np.float32)
+        return view, pvec, tgt
+
+    @staticmethod
+    def _run(warmup_steps, lr=0.05, epochs=6, seed=0):
+        from amg_ann_tpu.ann.train import create_state, make_train_step
+
+        view, pvec, tgt = TestMvarWarmup._data()
+        model = ThetaCostModel(nparams=2, wide1=4, depth1=1, wide2=0,
+                               depth2=0, bottleneck=16, wide3=32, depth3=2,
+                               learn_err=True)
+        state = create_state(model, jax.random.PRNGKey(1), view.shape[1:],
+                             lr, warmup_steps=warmup_steps)
+        step = make_train_step(model)
+        t = tgt.reshape(-1, 1)
+        rng = np.random.default_rng(seed)
+        worst = 0.0
+        for _ in range(epochs):
+            perm = rng.permutation(len(view))
+            for s in range(0, len(view), 16):
+                i = perm[s:s + 16]
+                state, l, _ = step(state, view[i], pvec[i], t[i])
+                worst = max(worst, float(l))
+                if not np.isfinite(worst) or worst > 1e8:
+                    return worst
+        return worst
+
+    def test_mvar_warmup_prevents_runaway(self):
+        diverged = self._run(warmup_steps=0)
+        assert diverged > 1e4, (
+            "provocation no longer diverges without warmup — retune it "
+            f"(worst loss {diverged:.3g})")
+        stable = self._run(warmup_steps=100)
+        assert stable < 1e3, f"warmup failed to stabilize: {stable:.3g}"
+
+    def test_lr_plumbing_through_warmup_chain(self):
+        """ReduceLROnPlateau pokes the injected lr through the chain."""
+        from amg_ann_tpu.ann.train import _hyperparams, create_state
+
+        model = ThetaCostModel(nparams=2, wide1=2, depth1=1, wide2=0,
+                               depth2=0, bottleneck=2, wide3=4, depth3=1,
+                               learn_err=True)
+        state = create_state(model, jax.random.PRNGKey(0), (6, 6, 1), 1e-3)
+        hp = _hyperparams(state.opt_state)
+        assert float(hp["learning_rate"]) == pytest.approx(1e-3)
+        import jax.numpy as jnp
+        hp["learning_rate"] = jnp.asarray(5e-4)
+        assert float(_hyperparams(state.opt_state)["learning_rate"]) \
+            == pytest.approx(5e-4)
