@@ -30,8 +30,12 @@ from .evaluate import get_summary_perf, test_model
 
 def eval_model(models_path: str, model_id: str, data_path: str,
                config=None, theta_tobeat: float = 0.5,
-               sigma_bar=np.inf) -> dict:
-    """Evaluate a trained model on a processed dataset directory."""
+               sigma_bar=np.inf, out_prefix: str = "") -> dict:
+    """Evaluate a trained model on a processed dataset directory.
+
+    out_prefix prefixes the written pred/perf_df/summary files — pass
+    e.g. "cal_" when evaluating the TRAIN split for σ̄ calibration so
+    the held-out artifacts are not clobbered."""
     row = find_metadata(models_path, model_id)
     model, params, spec = load_model(os.path.join(models_path, model_id))
     inputs = row["inputs"].split(";")
@@ -50,15 +54,17 @@ def eval_model(models_path: str, model_id: str, data_path: str,
     pd.DataFrame({"pred": pred[:, 0],
                   **({"pred_var": pred[:, 1]} if pred.shape[1] > 1 else {}),
                   "tgt": target}).to_csv(
-        os.path.join(save_path, "pred.csv"), index=False)
+        os.path.join(save_path, f"{out_prefix}pred.csv"), index=False)
 
     perf_df = test_model(model, params, df, join_on=join_on,
                          tgt=row["tgt"], inputs=inputs, view_column="img",
                          config=config, theta_tobeat=theta_tobeat)
-    perf_df.to_csv(os.path.join(save_path, "perf_df.csv"), index=False)
+    perf_df.to_csv(os.path.join(save_path, f"{out_prefix}perf_df.csv"),
+                   index=False)
 
     summary = get_summary_perf(perf_df, sigma_bar=sigma_bar)
-    with open(os.path.join(save_path, "summary.json"), "w") as f:
+    with open(os.path.join(save_path, f"{out_prefix}summary.json"),
+              "w") as f:
         json.dump({k: float(v) for k, v in summary.items()}, f, indent=1)
     return summary
 
@@ -166,6 +172,56 @@ def sigma_bar_study(perf_df: pd.DataFrame, err_col: str | None = None):
         "err_sorted": err,
         "frac_bad_cum": frac_bad_cum,
     }
+
+
+def sigma_bar_calibrated(perf_df: pd.DataFrame, err_col: str | None = None,
+                         min_frac_good: float = 0.85,
+                         min_kept: int = 10) -> dict:
+    """Outcome-calibrated σ̄ (VERDICT r5 item 9).
+
+    The reference's geometric elbow (sigma_bar_study) looks only at the
+    σ̂ curve's shape; on tc1 it lands below the 1st σ̂ percentile, so the
+    filtered deployment keeps almost nothing but θ=0.5 fallbacks
+    (filtered median realization 0.0, r4 card). This selector instead
+    uses the OUTCOMES on a calibration set (use the TRAIN-side perf_df —
+    never the held-out test set): among candidate thresholds it takes
+    the one maximizing the overall mean gain (fallback rows count 0,
+    reference filter semantics, model_evaluation.py:27-84) subject to
+    frac_good within the kept set ≥ min_frac_good. If no threshold
+    meets the constraint (weak σ̂ signal), it returns the
+    max-constraint-satisfying threshold with met=False so cards can say
+    so instead of shipping a degenerate filter.
+    """
+    if err_col is None:
+        cands = [c for c in perf_df.columns if c.endswith("nn_err")]
+        assert len(cands) == 1, cands
+        err_col = cands[0]
+    err = perf_df[err_col].to_numpy(dtype=float)
+    perf = perf_df["perf"].to_numpy(dtype=float)
+    # candidate thresholds: midpoints of the sorted σ̂ values + ∞
+    es = np.unique(err)
+    cand = np.concatenate([(es[1:] + es[:-1]) / 2.0, [np.inf]])
+    best = None          # (met, overall_gain, frac_good_kept, s)
+    for s in cand:
+        kept = err < s
+        n_kept = int(kept.sum())
+        if n_kept < min_kept:
+            continue
+        fg = float((perf[kept] >= 0).mean())
+        gain = float(np.where(kept, perf, 0.0).mean())
+        key = (fg >= min_frac_good, gain if fg >= min_frac_good else fg)
+        if best is None or key > best[0]:
+            best = (key, {"sigma_bar": float(s), "met": fg >= min_frac_good,
+                          "frac_good_kept": fg, "n_kept": n_kept,
+                          "overall_mean_gain": gain,
+                          "min_frac_good": min_frac_good})
+    if best is None:       # degenerate calibration set
+        return {"sigma_bar": float(np.inf), "met": False,
+                "frac_good_kept": float((perf >= 0).mean()),
+                "n_kept": len(perf),
+                "overall_mean_gain": float(perf.mean()),
+                "min_frac_good": min_frac_good}
+    return best[1]
 
 
 def cost_scaling_table(perf_df: pd.DataFrame) -> pd.DataFrame:

@@ -111,6 +111,10 @@ def main():
                          "designed window) with NEW seeds (offset 100) and "
                          "a '-f' name suffix so it never collides with the "
                          "19-point tranches")
+    ap.add_argument("--shard", type=int, nargs=2, metavar=("K", "N"),
+                    help="process configs[K::N] only — run N processes "
+                         "with distinct --out dirs (each pinned to one "
+                         "core) and concatenate the CSVs afterwards")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +126,10 @@ def main():
     kw = (dict(theta_step=0.025, seed_offset=100, name_suffix="-f")
           if args.fine_theta else {})
     cfgs = make_configs(args.seeds, extended=args.extended, **kw)
+    if args.shard:
+        k, nsh = args.shard
+        cfgs = cfgs[k::nsh]
+        print(f"shard {k}/{nsh}", flush=True)
     print(f"{len(cfgs)} configurations (cpu classical path)")
     jobs = []
     if not args.pooling_only:

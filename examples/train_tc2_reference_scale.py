@@ -44,7 +44,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from amg_ann_tpu.ann.driver import run_hyperparameter_csv
-    from amg_ann_tpu.pipeline.analysis import eval_model, sigma_bar_study
+    from amg_ann_tpu.pipeline.analysis import (eval_model,
+                                               sigma_bar_calibrated,
+                                               sigma_bar_study)
     from amg_ann_tpu.pipeline.preprocess import (preprocess_data,
                                                  split_train_validation_test)
 
@@ -132,6 +134,22 @@ def main():
         filt = get_summary_perf(perf_df, sigma_bar=card["sigma_bar_elbow"])
         card["summary_sigma_filtered"] = {k: float(v)
                                           for k, v in filt.items()}
+        # outcome-calibrated σ̄ (VERDICT r5 item 9): threshold chosen on
+        # the TRAIN-side deployment outcomes, applied to the held-out set
+        eval_model(args.models, model_id,
+                   os.path.join(args.processed, "train"),
+                   out_prefix="cal_")
+        cal_df = pd.read_csv(os.path.join(args.models, model_id,
+                                          "cal_perf_df.csv"))
+        cal = sigma_bar_calibrated(cal_df, err_col=err_cols[0])
+        card["sigma_bar_calibrated"] = cal
+        filt_c = get_summary_perf(perf_df, sigma_bar=cal["sigma_bar"])
+        kept = perf_df[perf_df[err_cols[0]] < cal["sigma_bar"]]
+        filt_c["frac_good_kept"] = (float((kept["perf"] >= 0).mean())
+                                    if len(kept) else float("nan"))
+        filt_c["n_kept"] = int(len(kept))
+        card["summary_sigma_calibrated"] = {k: float(v)
+                                            for k, v in filt_c.items()}
     with open(os.path.join(args.models, "card.json"), "w") as f:
         json.dump(card, f, indent=1)
     print("card ->", os.path.join(args.models, "card.json"))

@@ -132,3 +132,36 @@ def test_figure_parity_plots(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_sigma_bar_calibrated():
+    """Calibrated σ̄ keeps profitable predictions when σ̂ is informative
+    (synthetic: low σ̂ ⇒ good, high σ̂ ⇒ coin-flip)."""
+    from amg_ann_tpu.pipeline.analysis import sigma_bar_calibrated
+
+    rng = np.random.default_rng(0)
+    n = 400
+    err = np.sort(rng.random(n))
+    perf = np.where(np.arange(n) < n // 2,
+                    np.abs(rng.normal(0.15, 0.05, n)),          # informative
+                    rng.normal(0.0, 0.2, n))                    # coin-flip
+    df = pd.DataFrame({"tnl_nn_err": err, "perf": perf})
+    cal = sigma_bar_calibrated(df, min_frac_good=0.9)
+    assert cal["met"]
+    kept = df[df["tnl_nn_err"] < cal["sigma_bar"]]
+    assert (kept["perf"] >= 0).mean() >= 0.9
+    # it must keep a materially profitable set, not a degenerate sliver
+    assert cal["n_kept"] >= n // 4
+    assert cal["overall_mean_gain"] > 0.05
+
+
+def test_sigma_bar_calibrated_weak_signal():
+    """With junk σ̂ the selector reports met=False instead of shipping a
+    degenerate threshold."""
+    from amg_ann_tpu.pipeline.analysis import sigma_bar_calibrated
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"tnl_nn_err": rng.random(200),
+                       "perf": rng.normal(-0.2, 0.1, 200)})
+    cal = sigma_bar_calibrated(df, min_frac_good=0.85)
+    assert not cal["met"]
