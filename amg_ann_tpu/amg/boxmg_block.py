@@ -35,6 +35,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..sparse.csr import CSR
@@ -304,8 +305,14 @@ def _setup_block_chain_dev_impl(s0, theta, *, shape, nb, slots, interp,
                             w_left=None if ci == cj else ws[ci])
             for cj in range(nb)], axis=1)
             for ci in range(nb)], axis=1)
+        w_s = jnp.stack(ws)
+        # materialize (A_c, W) per level: without this barrier XLA fuses
+        # the DIA-pack bands into their producers and recomputes the
+        # interp/RAP expressions per band (see the scalar chain,
+        # structured_mg._setup_chain_dev — 14× measured on r5 bisect)
+        s_c, w_s = jax.lax.optimization_barrier((s_c, w_s))
         stencils.append(s_c)
-        weights.append(jnp.stack(ws))
+        weights.append(w_s)
         shapes.append(tuple(coarse_size(s) if st == 2 else s
                             for s, st in zip(shapes[-1], strides)))
 

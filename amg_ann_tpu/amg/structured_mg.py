@@ -375,6 +375,12 @@ def _setup_chain_dev(s0, theta, *, shape, slots, interp, mrs, schedule):
         w = interp_dev(stencils[-1], theta, strides=strides, mrs=mrs)
         s_c = rap_stencil_dev(stencils[-1], w, strides=strides,
                               a_slots=slot_list[-1])
+        # materialize each level's (A_c, W) before any consumer: without
+        # this barrier XLA fuses the DIA-pack/transfer bands into their
+        # producers and RECOMPUTES the interp/RAP expressions per band —
+        # measured 1.89 s vs 0.14 s chain device time at 128³ (r5 bisect,
+        # bench/TPU_RUNBOOK.md)
+        s_c, w = jax.lax.optimization_barrier((s_c, w))
         stencils.append(s_c)
         weights.append(w)
         slot_list.append(tuple(range(27)))
