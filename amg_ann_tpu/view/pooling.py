@@ -122,19 +122,150 @@ def make_view_device(a: ELL, row_nnz, view_size: int) -> View:
     return View(s, c, pp, np_)
 
 
+@functools.lru_cache(maxsize=64)
+def _slot_pieces(n: int, view_size: int, off: int):
+    """Static piece table for one stencil slot (host, cached).
+
+    Entries of slot `off` are (i, i+off); the row bin br(i) partitions
+    [0, n) into view_size contiguous ranges, and within one row bin the
+    col bin bc(clip(i+off)) is monotone; since the in-bin window is at
+    most q+1 long and every col bin is at least q wide, the window
+    crosses at most 2 bin edges REGARDLESS of |off| — each row bin
+    splits into P ≤ 3 contiguous PIECES, each mapped to one static
+    (row_bin, col_bin) output cell. Returns (starts, ends, colid),
+    each (view_size, P) int32 in LOCAL in-bin coordinates
+    (l = i - row_start), padded with empty pieces."""
+    assert n >= view_size, (n, view_size)
+    q, p = divmod(n, view_size)
+    row_start = np.minimum(np.arange(view_size), p) * (q + 1) + \
+        np.maximum(np.arange(view_size) - p, 0) * q
+    row_len = np.where(np.arange(view_size) < p, q + 1, q)
+
+    def bc(j):
+        j = min(max(j, 0), n - 1)
+        t = (q + 1) * p
+        return j // (q + 1) if j < t else (j - t) // q + p
+
+    rows = []
+    for r in range(view_size):
+        a, ln = int(row_start[r]), int(row_len[r])
+        # boundaries: local l where bc(a + l + off) changes (host numpy —
+        # vectorized over the ≤ q+1 in-bin indices)
+        js = np.clip(np.arange(a + off, a + off + ln), 0, n - 1)
+        t = (q + 1) * p
+        cs = np.where(js < t, js // (q + 1), (js - t) // q + p)
+        cuts = [0] + list(np.flatnonzero(np.diff(cs)) + 1) + [ln]
+        cols = [int(cs[c]) for c in cuts[:-1]]
+        rows.append([(cuts[i], cuts[i + 1], cols[i])
+                     for i in range(len(cols))])
+    P = max(len(rw) for rw in rows)
+    starts = np.zeros((view_size, P), np.int32)
+    ends = np.zeros((view_size, P), np.int32)
+    colid = np.zeros((view_size, P), np.int32)
+    for r, rw in enumerate(rows):
+        for pidx, (s, e, c) in enumerate(rw):
+            starts[r, pidx], ends[r, pidx], colid[r, pidx] = s, e, c
+    return starts, ends, colid
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "view_size",
                                              "structural"))
 def _make_view_stencil(stencil, grid_shape, view_size: int,
                        structural: bool = True):
-    """Pooling straight from a resident (27, nx·ny·nz) stencil.
+    """Pooling straight from a resident (27, nx·ny·nz) stencil —
+    SCATTER-FREE (r5: the segment_sum/segment_max formulation lowered to
+    serialized TPU scatters and cost 2.07 s of the 2.09 s warm 129³
+    deployment predict; this one is dense reshapes + masked reductions).
 
-    Per slot k the matrix entries are (i, i + off_k, s_k[i]); since
-    bin_index is monotone, the flat bin ids br·vs + bc are SORTED along
-    i for each slot — every channel reduces with sorted segment ops (no
-    scatter), so the whole view costs 27 bandwidth-bound passes on TPU.
-    Off-grid (slot, i) pairs are masked geometrically, which equals the
-    stored 27-point structural pattern of the assembled matrices
-    (tests/test_view.py pins equality vs make_view_host)."""
+    Balanced binning is exactly two-reshape packable: the first p row
+    bins hold q+1 indices and the rest q (q, p = divmod(n, vs)), so a
+    flat (n,) channel packs to (vs, q+1) with one pad column for the
+    short bins. Within one row bin, each slot's col bin splits into ≤ 3
+    statically-known contiguous pieces (_slot_pieces); per piece the
+    channel reduces densely and lands in its static output cell via a
+    one-hot combine. Off-grid (slot, i) pairs are masked geometrically,
+    which equals the stored 27-point structural pattern of the
+    assembled matrices (tests/test_view.py pins equality vs
+    make_view_host; test_view_stencil_fast_vs_ref pins it vs the
+    segment-op reference twin)."""
+    nx, ny, nz = grid_shape
+    n = nx * ny * nz
+    q, p = divmod(n, view_size)
+    L = q + 1 if p else q
+    dt = stencil.dtype
+    i = jnp.arange(n, dtype=jnp.int32)
+    x = i // jnp.int32(ny * nz)
+    y = (i // jnp.int32(nz)) % jnp.int32(ny)
+    z = i % jnp.int32(nz)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (view_size, L), 1)
+
+    def pack(v):
+        """(n,) → (view_size, L) by the balanced-bin layout."""
+        if p == 0:
+            return v.reshape(view_size, L)
+        t = (q + 1) * p
+        top = v[:t].reshape(p, q + 1)
+        bot = jnp.pad(v[t:].reshape(view_size - p, q), ((0, 0), (0, 1)))
+        return jnp.concatenate([top, bot], axis=0)
+
+    v_sum = jnp.zeros((view_size, view_size), dtype=dt)
+    v_cnt = jnp.zeros((view_size, view_size), dtype=jnp.int32)
+    v_pp = jnp.zeros((view_size, view_size), dtype=dt)
+    v_np = jnp.zeros((view_size, view_size), dtype=dt)
+    for k in range(27):
+        dx, dy, dz = k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1
+        off = (dx * ny + dy) * nz + dz
+        valid = ((x + dx >= 0) & (x + dx < nx) & (y + dy >= 0)
+                 & (y + dy < ny) & (z + dz >= 0) & (z + dz < nz))
+        if not structural:
+            valid = valid & (stencil[k] != 0)
+        vals2d = pack(jnp.where(valid, stencil[k],
+                                jnp.zeros((), dtype=dt)))
+        valid2d = pack(valid.astype(jnp.int32))
+        starts, ends, cid = _slot_pieces(n, view_size, int(off))
+        s_c, e_c = jnp.asarray(starts), jnp.asarray(ends)
+        # (vs, L, 3) piece mask, fused into the reductions below
+        pm = ((iota_l[:, :, None] >= s_c[:, None, :])
+              & (iota_l[:, :, None] < e_c[:, None, :]))
+        sum_p = jnp.einsum("rl,rlp->rp", vals2d,
+                           pm.astype(dt), precision="highest")
+        cnt_p = jnp.einsum("rl,rlp->rp", valid2d.astype(jnp.float32),
+                           pm.astype(jnp.float32),
+                           precision="highest").astype(jnp.int32)
+        pp_p = jnp.max(jnp.where(pm, jnp.maximum(vals2d, 0.0)[:, :, None],
+                                 jnp.zeros((), dtype=dt)), axis=1)
+        np_p = jnp.max(jnp.where(pm, jnp.maximum(-vals2d, 0.0)[:, :, None],
+                                 jnp.zeros((), dtype=dt)), axis=1)
+        # static one-hot combine into the (vs, vs) image
+        P = cid.shape[1]
+        oh = np.zeros((view_size, P, view_size), np.float32)
+        oh[np.arange(view_size)[:, None], np.arange(P)[None, :], cid] = 1.0
+        # mark truly-empty pieces so max channels don't leak their 0 into
+        # cell (r, 0): empty pieces produce 0 anyway, and one-hot routes
+        # them to col cid=0 — harmless for sum/cnt (adds 0), and for max
+        # a 0 contribution equals the init value. (Kept simple.)
+        ohj = jnp.asarray(oh)
+        v_sum = v_sum + jnp.einsum("rp,rpc->rc", sum_p, ohj.astype(dt),
+                                   precision="highest")
+        v_cnt = v_cnt + jnp.einsum("rp,rpc->rc", cnt_p.astype(jnp.float32),
+                                   ohj, precision="highest").astype(
+                                       jnp.int32)
+        v_pp = jnp.maximum(v_pp, jnp.max(
+            jnp.where(ohj > 0, pp_p[:, :, None],
+                      jnp.zeros((), dtype=dt)), axis=1))
+        v_np = jnp.maximum(v_np, jnp.max(
+            jnp.where(ohj > 0, np_p[:, :, None],
+                      jnp.zeros((), dtype=dt)), axis=1))
+    return v_sum, v_cnt, v_pp, v_np
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "view_size",
+                                             "structural"))
+def _make_view_stencil_ref(stencil, grid_shape, view_size: int,
+                           structural: bool = True):
+    """Segment-op reference twin of _make_view_stencil (the r4
+    formulation) — kept as the parity oracle for the scatter-free
+    fast path; see tests/test_view.py."""
     nx, ny, nz = grid_shape
     n = nx * ny * nz
     nb = view_size * view_size

@@ -138,3 +138,34 @@ def test_stencil_view_anisotropic_27pt():
     np.testing.assert_array_equal(np.asarray(dev.count), host.count)
     np.testing.assert_allclose(np.asarray(dev.max_pp), host.max_pp,
                                rtol=1e-6, atol=1e-12)
+
+
+def test_view_stencil_fast_vs_ref():
+    """Scatter-free _make_view_stencil == the segment-op reference twin,
+    including small grids where a slot offset spans >2 bin edges (P>3
+    pieces) and non-divisible n."""
+    import jax.numpy as jnp
+
+    from amg_ann_tpu.view.pooling import (_make_view_stencil,
+                                          _make_view_stencil_ref,
+                                          _slot_pieces)
+
+    rng = np.random.default_rng(7)
+    for gs, vs in (((12, 12, 12), 40), ((9, 10, 11), 17),
+                   ((24, 24, 24), 75), ((6, 7, 8), 5)):
+        n = gs[0] * gs[1] * gs[2]
+        s = jnp.asarray(rng.standard_normal((27, n)).astype(np.float32))
+        for structural in (True, False):
+            fast = _make_view_stencil(s, gs, vs, structural)
+            ref = _make_view_stencil_ref(s, gs, vs, structural)
+            for a, b, name in zip(fast, ref,
+                                  ("sum", "cnt", "pp", "np")):
+                # sum channel: accumulation-order float noise only
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3,
+                    err_msg=f"{gs} vs={vs} structural={structural} {name}")
+    # invariant: the in-bin window is <= q+1 long, so a slot offset can
+    # cross at most 2 bin edges regardless of |off| — P <= 3 always
+    ps = [_slot_pieces(6 * 7 * 8, 30, off)[0].shape[1]
+          for off in (-57, -8, -1, 1, 8, 57)]
+    assert max(ps) <= 3, ps
