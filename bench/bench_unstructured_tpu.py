@@ -46,8 +46,13 @@ def main():
     print(f"ndof {a.nrows} nnz {a.nnz} built {t_build:.1f}s",
           file=sys.stderr)
 
+    # BENCH_DENSE_THRESH: coarse levels with <= this many rows run as
+    # padded dense operators on the MXU (default 2048; 8192 converts the
+    # ~6k level-1 of the 36k problem to one matmul per op — the solve is
+    # op-LAUNCH bound, not bandwidth bound, so fewer/denser ops win)
+    dct = int(os.environ.get("BENCH_DENSE_THRESH", "2048"))
     params = AMGParams(strong_threshold=0.25, dtype=np.float32,
-                       device_format=FMT)
+                       device_format=FMT, dense_coarse_threshold=dct)
 
     # --- sustained fine-level SpMV ---------------------------------
     if FMT == "well":
