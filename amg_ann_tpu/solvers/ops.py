@@ -94,17 +94,30 @@ def op_cheb_sweep(op, x, r, d, s, coefs):
     return x, r, d
 
 
+def _use_well_fused(op) -> bool:
+    from ..sparse.well import WELL, fits_vmem_fused
+
+    return (isinstance(op, WELL) and _on_tpu()
+            and op.data.dtype == jnp.float32 and fits_vmem_fused(op)
+            and os.environ.get("AMG_WELL_FUSED", "1") == "1")
+
+
 def op_smooth_apply(op, x, b, s, coefs, x_zero: bool, want_res: bool):
     """One COMPLETE smoother application (solvers/smoothers.smooth_rx
     semantics) from (x, b): computes the initial residual itself
     (r = b − A x, elided when x_zero), runs the coefs-row recurrence, and
     returns (x', r' or None). On TPU DIA operands the WHOLE application —
     including the initial-residual matvec that used to be a separate
-    launch — is ONE fused Pallas kernel."""
+    launch — is ONE fused Pallas kernel; WELL operands that fit VMEM get
+    the same single-launch treatment (sparse/well.smooth_apply, r5)."""
     if _use_pallas(op):
         from ..sparse.dia import dia_smooth_apply_fast
 
         return dia_smooth_apply_fast(op, x, b, s, coefs, x_zero, want_res)
+    if _use_well_fused(op):
+        from ..sparse.well import smooth_apply as well_smooth_apply
+
+        return well_smooth_apply(op, x, b, s, coefs, x_zero, want_res)
     r = b if x_zero else b - op_matvec(op, x)
     d = coefs[0, 0] * (s * r)
     for j in range(1, int(coefs.shape[0])):

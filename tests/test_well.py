@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from amg_ann_tpu.amg import AMGParams
 from amg_ann_tpu.solvers import amg_solve, ir_solve
@@ -240,3 +241,61 @@ class TestResidualDS:
                                        device_format="well"),
                        rtol=1e-8, residual_mode="ds")
         assert res.converged and res.true_res < 1e-8
+
+
+class TestFusedSmootherApply:
+    """sparse/well.smooth_apply (single-launch whole application, r5)
+    vs the generic op_smooth_apply recurrence, in interpret mode."""
+
+    @staticmethod
+    def _setup():
+        from amg_ann_tpu.fem import poisson_7pt
+        from amg_ann_tpu.sparse import well as wm
+
+        a = poisson_7pt(14)
+        perm = wm.best_perm(a)
+        ap = wm.permute_sym(a, perm) if perm is not None else a
+        w = wm.from_csr(ap, dtype=np.float32)
+        rng = np.random.default_rng(0)
+        npad = w.padded_rows
+        x = np.zeros(npad, np.float32); x[:a.nrows] = rng.random(a.nrows)
+        b = np.zeros(npad, np.float32); b[:a.nrows] = rng.random(a.nrows)
+        s = np.zeros(npad, np.float32)
+        s[:a.nrows] = 1.0 / ap.diagonal()
+        coefs = np.array([[0.7, 0.0], [0.3, 0.5], [0.2, 0.4],
+                          [0.0, 0.0]], np.float32)
+        return w, x, b, s, coefs, npad
+
+    @pytest.mark.parametrize("x_zero", [True, False])
+    @pytest.mark.parametrize("want_res", [True, False])
+    def test_matches_reference_recurrence(self, x_zero, want_res):
+        from amg_ann_tpu.sparse import well as wm
+
+        w, x, b, s, coefs, npad = self._setup()
+
+        def ref():
+            r = (jnp.asarray(b) if x_zero
+                 else jnp.asarray(b) - wm.spmv_ref(w, jnp.asarray(x))[:npad])
+            d = coefs[0, 0] * (s * r)
+            xx = (jnp.zeros(npad, jnp.float32) if x_zero
+                  else jnp.asarray(x))
+            for j in range(1, coefs.shape[0]):
+                t = wm.spmv_ref(w, d)[:npad]
+                xx = xx + d
+                r = r - t
+                d = coefs[j, 0] * d + coefs[j, 1] * (s * r)
+            if want_res:
+                return xx + d, r - wm.spmv_ref(w, d)[:npad]
+            return xx + d, None
+
+        xo, ro = wm.smooth_apply(w, jnp.asarray(x), jnp.asarray(b),
+                                 jnp.asarray(s), jnp.asarray(coefs),
+                                 x_zero, want_res, interpret=True)
+        xr, rr = ref()
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(xr),
+                                   rtol=2e-5, atol=2e-5)
+        if want_res:
+            np.testing.assert_allclose(np.asarray(ro), np.asarray(rr),
+                                       rtol=2e-5, atol=2e-4)
+        else:
+            assert ro is None
